@@ -1,0 +1,168 @@
+"""Configuration for training, model shape and rendering.
+
+Mirrors the reference's two config sources with the reference values as
+defaults:
+
+* the training YAML (reference ``confs/train_config.yaml`` keys, parsed at
+  ``src/main_functions/train_manager.cpp:25-44``), and
+* the model hyper-parameters that the reference hard-codes as compile-time
+  constants (``src/hash_3d_anchored.hpp:10-11`` N_LEVELS/N_CHANNELS,
+  ``src/points_sampler.hpp:15,39`` MAX_SAMPLE_PER_RAY/SAMPLE_L,
+  ``src/sh_shader.hpp:22`` DEGREE), promoted here to config fields per
+  SURVEY.md §5.6.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model shape. Defaults replicate the reference exactly."""
+
+    # Hash grid (reference src/hash_3d_anchored.{hpp,cpp,cu})
+    n_levels: int = 16              # N_LEVELS
+    n_channels: int = 2             # N_CHANNELS
+    log2_table_size: int = 19       # pool_size = 2^19 * n_levels
+    res_base_pow2: float = 3.0      # per-level res = exp2(3 + 7*l/15): 8..1024
+    res_fine_pow2: float = 10.0
+    contraction_radius: float = 1.0  # src/hash_3d_anchored.cpp:79
+    hash_feat_dim: int = 16         # mlp_out_dim, src/hash_3d_anchored.cpp:61
+    density_shift: float = 3.0      # DensityAct shift, src/renderer.cpp:55
+
+    # SH shader (reference src/sh_shader.{hpp,cpp})
+    sh_degree: int = 4              # 16 coeffs
+    shader_hidden_dim: int = 64
+    app_emb_dim: int = 16           # app_emb [n_images, 16], src/renderer.cpp:28
+
+    # Sampler (reference src/points_sampler.{hpp,cpp})
+    n_samples: int = 1024           # MAX_SAMPLE_PER_RAY
+    sample_l: float = 1.0 / 256.0   # SAMPLE_L
+
+    # Renderer
+    trans_eps: float = 1e-4         # early-stop transmittance, src/renderer.cpp:65
+    # store hash features in bfloat16 (the TPU analogue of the reference's
+    # HALF_PRECISION fp16 pool, CMakeLists.txt:21); fp32 used for parity tests
+    bf16_features: bool = True
+
+    @property
+    def table_size(self) -> int:
+        # local_size = (pool//16)>>4<<4 — already 16-aligned for powers of two
+        return (1 << self.log2_table_size)
+
+    @property
+    def pool_size(self) -> int:
+        return self.table_size * self.n_levels
+
+    @property
+    def sh_dim(self) -> int:
+        return self.sh_degree * self.sh_degree
+
+    @property
+    def shader_in_dim(self) -> int:
+        return self.hash_feat_dim + self.sh_dim
+
+    def level_resolutions(self) -> list[float]:
+        """Per-level scale mul = exp2(base + (fine-base)*l/(L-1))."""
+        span = self.res_fine_pow2 - self.res_base_pow2
+        denom = max(self.n_levels - 1, 1)
+        return [2.0 ** (self.res_base_pow2 + span * lvl / denom)
+                for lvl in range(self.n_levels)]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop knobs (reference confs/train_config.yaml)."""
+
+    pts_batch_size: int = 262144    # rays/step = (pts/512)>>4<<4 = 512
+    end_iter: int = 20000
+    report_freq: int = 200
+    vis_freq: int = 2500
+    save_freq: int = 20000
+    learning_rate: float = 1e-2
+    learning_rate_alpha: float = 1e-1
+    learning_rate_warm_up_end_iter: int = 1000
+    var_loss_weight: float = 1e-2
+    var_loss_start: int = 5000
+    var_loss_end: int = 10000
+    seed: int = 2022                # reference main.cpp:11
+    ray_batch_size: int = 8192      # vis render chunk, train_manager.cpp:117
+
+    @property
+    def rays_per_step(self) -> int:
+        # reference train_manager.cpp:69-70
+        return (int(self.pts_batch_size / 512.0) >> 4) << 4
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    @staticmethod
+    def tiny() -> "Config":
+        """CPU-runnable tiny config (BASELINE.json configs[0]):
+        4-level hash grid (2^14 table), 64 samples/ray."""
+        return Config(
+            model=ModelConfig(
+                n_levels=4, log2_table_size=14, n_samples=64,
+                sample_l=1.0 / 16.0, bf16_features=False),
+            train=TrainConfig(pts_batch_size=32768, end_iter=200,
+                              report_freq=50, vis_freq=10**9,
+                              save_freq=10**9,
+                              learning_rate_warm_up_end_iter=20,
+                              var_loss_start=50, var_loss_end=100),
+        )
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "Config":
+        model = ModelConfig(**d.get("model", {}))
+        train = TrainConfig(**d.get("train", {}))
+        return Config(model=model, train=train)
+
+    @staticmethod
+    def load(path: str | pathlib.Path) -> "Config":
+        """Load a YAML config.
+
+        Accepts both this framework's layout ({model: ..., train: ...}) and
+        the reference's train_config.yaml layout ({train: {...}} with only
+        training keys).
+        """
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        train_d = dict(raw.get("train", {}))
+        # drop reference keys we do not use (validate_freq is dead in the
+        # reference too — parsed by no one, SURVEY.md §5.6)
+        train_d.pop("validate_freq", None)
+        known = {f.name for f in dataclasses.fields(TrainConfig)}
+        train_d = {k: _coerce(v) for k, v in train_d.items() if k in known}
+        model_d = dict(raw.get("model", {}))
+        known_m = {f.name for f in dataclasses.fields(ModelConfig)}
+        model_d = {k: _coerce(v) for k, v in model_d.items() if k in known_m}
+        return Config(model=ModelConfig(**model_d), train=TrainConfig(**train_d))
+
+    def save(self, path: str | pathlib.Path) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+
+def _coerce(v: Any) -> Any:
+    """YAML 1.1 parses 1e-2 as str in some loaders; coerce numeric strings."""
+    if isinstance(v, str):
+        try:
+            return json.loads(v)
+        except (ValueError, TypeError):
+            try:
+                return float(v)
+            except ValueError:
+                return v
+    return v

@@ -1,0 +1,106 @@
+"""Synthetic dataset generator (tests + benchmarks).
+
+The reference has no test fixtures at all (SURVEY.md §4); this module
+provides a procedurally rendered multi-view scene — a shaded colored
+sphere over a grey background, ray-traced analytically in numpy — so unit
+tests and benchmarks can train and evaluate end-to-end without external
+data or network access.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from f2nerf_tpu.data.dataset import Dataset
+
+
+def look_at_pose(position: np.ndarray, target: np.ndarray,
+                 up: np.ndarray | None = None) -> np.ndarray:
+    """OpenGL-convention camera-to-world 3x4 (camera looks down -z)."""
+    if up is None:
+        up = np.array([0.0, 1.0, 0.0])
+    z = position - target
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    pose = np.zeros((3, 4), dtype=np.float32)
+    pose[:, 0] = x
+    pose[:, 1] = y
+    pose[:, 2] = z
+    pose[:, 3] = position
+    return pose
+
+
+def _render_sphere(pose: np.ndarray, intrinsic: np.ndarray, h: int, w: int,
+                   sphere_center: np.ndarray, sphere_radius: float,
+                   color: np.ndarray, bg: float = 0.5) -> np.ndarray:
+    """Analytic ray-traced shaded sphere, using the same ray convention
+    as f2nerf_tpu.core.cameras.rays_from_pose."""
+    ii, jj = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    i = ii + 0.5
+    j = jj + 0.5
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    u = (j - cx) / fx
+    v = -((i - cy) / fy)
+    d = np.stack([u, v, -np.ones_like(u)], axis=-1)
+    d = d @ pose[:3, :3].T
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+
+    oc = o - sphere_center
+    b = np.sum(d * oc, axis=-1)
+    c = np.sum(oc * oc) - sphere_radius ** 2
+    disc = b * b - c
+    hit = disc > 0
+    tt = -b - np.sqrt(np.maximum(disc, 0.0))
+    hit = hit & (tt > 0)
+
+    p = o + d * tt[..., None]
+    n = (p - sphere_center) / sphere_radius
+    light = np.array([0.5, 0.7, 0.5])
+    light = light / np.linalg.norm(light)
+    shade = 0.35 + 0.65 * np.clip(n @ light, 0.0, 1.0)
+
+    img = np.full((h, w, 3), bg, dtype=np.float32)
+    img[hit] = (color[None, :] * shade[hit, None]).astype(np.float32)
+    return img
+
+
+def make_sphere_dataset(n_images: int = 8, h: int = 64, w: int = 64,
+                        ring_radius: float = 3.0,
+                        seed: int = 0) -> Dataset:
+    """Cameras on a ring looking at a unit sphere at the origin."""
+    rng = np.random.default_rng(seed)
+    focal = 0.8 * w
+    intrinsic = np.array([[focal, 0, w / 2.0],
+                          [0, focal, h / 2.0],
+                          [0, 0, 1.0]], dtype=np.float32)
+    color = np.array([0.8, 0.35, 0.25], dtype=np.float32)
+
+    poses, images = [], []
+    for k in range(n_images):
+        ang = 2.0 * np.pi * k / n_images
+        elev = 0.35 + 0.1 * rng.standard_normal()
+        pos = ring_radius * np.array([
+            np.cos(ang) * np.cos(elev), np.sin(elev),
+            np.sin(ang) * np.cos(elev)])
+        pose = look_at_pose(pos, np.zeros(3))
+        poses.append(pose)
+        images.append(_render_sphere(pose, intrinsic, h, w,
+                                     np.zeros(3), 1.0, color))
+
+    poses = np.stack(poses).astype(np.float32)
+    from f2nerf_tpu.core.cameras import normalize_poses
+    poses, center, radius = normalize_poses(poses)
+
+    return Dataset(
+        poses=poses,
+        intrinsics=np.stack([intrinsic] * n_images),
+        dist_params=np.zeros((n_images, 4), dtype=np.float32),
+        bounds=np.tile(np.array([0.1, 10.0], dtype=np.float32),
+                       (n_images, 1)),
+        images=np.stack(images),
+        center=center, radius=radius)

@@ -1,0 +1,151 @@
+"""Volume renderer: sampler -> hash field -> SH shader -> compositing.
+
+Reference: ``src/renderer.{hpp,cpp}`` (Renderer::render / render_all_rays /
+render_image). The reference's two-pass early-stop compaction is replaced
+by a single dense masked pass (see f2nerf_tpu/ops/composite.py); because
+density values are identical in both of the reference's passes, the single
+pass is mathematically exact *and* cheaper (the reference queries the full
+sample set in pass 1 plus survivors again in pass 2).
+
+Owns the per-image appearance embedding ``app_emb`` [n_images, 16]
+~ 0.1*N(0,1) added to the shading features in TRAIN mode
+(src/renderer.cpp:28-30,100-104).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from f2nerf_tpu.core.config import ModelConfig
+from f2nerf_tpu.models import hash_field, sampler, sh_shader
+from f2nerf_tpu.ops.composite import composite, density_activation
+
+Params = dict[str, Any]
+
+
+class RenderResult(NamedTuple):
+    colors: jnp.ndarray   # [R, 3]
+    depths: jnp.ndarray   # [R]
+    weights: jnp.ndarray  # [R, S] (zero outside the keep mask)
+    mask: jnp.ndarray     # [R, S] bool keep mask
+
+
+def init(key: jax.Array, cfg: ModelConfig, n_images: int,
+         np_seed: int = 2022) -> tuple[Params, Params]:
+    """Returns (trainable params, non-trained consts)."""
+    k_field, k_shader, k_emb = jax.random.split(key, 3)
+    field_params, field_consts = hash_field.init(k_field, cfg,
+                                                 np_seed=np_seed)
+    params = {
+        "field": field_params,
+        "shader": sh_shader.init(k_shader, cfg),
+        "app_emb": jax.random.normal(k_emb, (n_images, cfg.app_emb_dim))
+        * 0.1,
+    }
+    consts = {"field": field_consts}
+    return params, consts
+
+
+def render(params: Params, consts: Params, rays_o: jnp.ndarray,
+           rays_d: jnp.ndarray,
+           emb_idx: jnp.ndarray | None, cfg: ModelConfig,
+           key: jax.Array | None, train: bool,
+           encode_fn=None) -> RenderResult:
+    """Render a batch of rays.
+
+    Args:
+      rays_o, rays_d: [R, 3] ray origins/directions (dirs need not be unit).
+      emb_idx: [R] int32 per-ray image index for the appearance embedding
+        (TRAIN only; ignored otherwise).
+      key: PRNG key; TRAIN uses it for sample jitter + random background.
+      train: TRAIN mode = stratified jitter, random background, app_emb.
+        VALIDATE = no jitter, grey (0.5) background, no app_emb.
+      encode_fn: optional hash-encode override (Pallas kernel).
+    """
+    r = rays_o.shape[0]
+    if train:
+        key_noise, key_bg = jax.random.split(key)
+        bg_color = jax.random.uniform(key_bg, (r, 3))
+    else:
+        key_noise = None
+        bg_color = jnp.full((r, 3), 0.5)
+
+    smp = sampler.sample_rays(rays_o, rays_d, cfg, key_noise)
+    s = cfg.n_samples
+
+    flat_pts = smp.pts.reshape(r * s, 3)
+    feat = hash_field.query(params["field"], consts["field"], flat_pts,
+                            cfg, encode_fn=encode_fn)          # [R*S, F]
+    feat = feat.reshape(r, s, -1)
+
+    sigma = density_activation(feat[..., 0], cfg.density_shift)  # [R, S]
+
+    # shading feature: [1, feat_1..F-1] (renderer.cpp:95-99)
+    shading_feat = jnp.concatenate(
+        [jnp.ones_like(feat[..., :1]), feat[..., 1:]], axis=-1)
+    if train and emb_idx is not None:
+        shading_feat = shading_feat + params["app_emb"][emb_idx][:, None, :]
+
+    dirs = jnp.broadcast_to(smp.dirs[:, None, :], (r, s, 3))
+    colors = sh_shader.query(params["shader"], shading_feat, dirs, cfg)
+
+    sec_density = sigma * smp.dt                                # [R, S]
+    rgb, depth, weights, mask = composite(
+        sec_density, colors, smp.t, bg_color, cfg.trans_eps)
+    return RenderResult(colors=rgb, depths=depth, weights=weights, mask=mask)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_validate_render(cfg: ModelConfig, encode_fn):
+    return jax.jit(
+        lambda p, c, o, d: render(p, c, o, d, None, cfg, None, train=False,
+                                  encode_fn=encode_fn)[:2])
+
+
+def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
+                        rays_d: jnp.ndarray, cfg: ModelConfig,
+                        chunk: int = 8192,
+                        encode_fn=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """VALIDATE-mode render of many rays in fixed-size chunks.
+
+    Reference Renderer::render_all_rays (src/renderer.cpp:125-151). Pads
+    the final chunk so every call hits the same compiled shape.
+    """
+    n = rays_o.shape[0]
+    fn = _jit_validate_render(cfg, encode_fn)
+    outs_c, outs_d = [], []
+    for i in range(0, n, chunk):
+        o = rays_o[i:i + chunk]
+        d = rays_d[i:i + chunk]
+        pad = chunk - o.shape[0]
+        if pad:
+            o = jnp.pad(o, ((0, pad), (0, 0)), constant_values=1.0)
+            d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        c, dep = fn(params, consts, o, d)
+        outs_c.append(c[:chunk - pad] if pad else c)
+        outs_d.append(dep[:chunk - pad] if pad else dep)
+    return jnp.concatenate(outs_c, 0), jnp.concatenate(outs_d, 0)
+
+
+def render_image(params: Params, consts: Params, pose: jnp.ndarray,
+                 intrinsic: jnp.ndarray,
+                 h: int, w: int, cfg: ModelConfig, chunk: int = 8192,
+                 encode_fn=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Render a full image; returns (rgb [H, W, 3] clipped, depth [H, W]).
+
+    Reference Renderer::render_image (src/renderer.cpp:153-172).
+    """
+    from f2nerf_tpu.core.cameras import pixel_grid, rays_from_pose
+    ij = jnp.asarray(pixel_grid(h, w))
+    rays_o, rays_d = rays_from_pose(pose[None], intrinsic[None], ij)
+    colors, depths = render_rays_chunked(
+        params, consts, rays_o, rays_d, cfg, chunk=chunk,
+        encode_fn=encode_fn)
+    rgb = jnp.clip(colors.reshape(h, w, 3), 0.0, 1.0)
+    return rgb, depths.reshape(h, w)

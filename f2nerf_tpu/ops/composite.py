@@ -1,0 +1,107 @@
+"""Dense masked volume-rendering ops.
+
+TPU-native replacement for the reference's ragged-CSR segment ops
+(``src/CustomOps/FlexOps.cu`` Sum/AccumulateSum, ``Scatter.cu`` ScatterIdx,
+``CustomOps.cu`` WeightVarLoss) and the renderer's two-pass early-stop
+compaction (``src/renderer.cpp:58-122``).
+
+Design (SURVEY.md §7): samples live in a dense ``[n_rays, n_samples]``
+layout. Because transmittance is monotone non-increasing along a ray, the
+reference's keep-mask (trans > eps) is always a *prefix* of each ray, so
+masking densities reproduces the compacted computation exactly:
+
+* FlexOps::Sum            -> masked ``jnp.sum`` over the sample axis
+* FlexOps::AccumulateSum  -> masked (ex/in)clusive ``jnp.cumsum``
+* ScatterIdx              -> broadcasting
+* WeightVar               -> two masked reductions
+* early-stop compaction   -> ``sec_density * mask`` (zero contribution)
+
+Everything fuses into one XLA elementwise chain; autodiff of masked
+cumsum/sum already matches the reference's hand-written backward kernels
+(fill / reversed-suffix-sum), so no custom VJPs are needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from f2nerf_tpu.ops.trunc_exp import trunc_exp
+
+
+def exclusive_cumsum(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Per-row exclusive prefix sum (FlexOps::AccumulateSum include=false,
+    reference src/CustomOps/FlexOps.cu:57-75)."""
+    return jnp.cumsum(x, axis=axis) - x
+
+
+def density_activation(raw: jnp.ndarray, shift: float = 3.0) -> jnp.ndarray:
+    """sigma = TruncExp(raw - shift) — reference src/renderer.cpp:53-56."""
+    return trunc_exp(raw - shift)
+
+
+def composite(sec_density: jnp.ndarray, colors: jnp.ndarray,
+              t: jnp.ndarray, bg_color: jnp.ndarray,
+              trans_eps: float = 1e-4
+              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Alpha-composite a dense batch of rays.
+
+    Replicates reference src/renderer.cpp:58-122 (two passes + early-stop)
+    in a single masked pass.
+
+    Args:
+      sec_density: [R, S] sigma_i * dt_i.
+      colors: [R, S, 3] per-sample RGB.
+      t: [R, S] ray parameter of each sample (pre +0.01 shift).
+      bg_color: [R, 3] background color.
+      trans_eps: keep samples with transmittance > eps
+        (reference src/renderer.cpp:65).
+
+    Returns:
+      (rgb [R, 3], depth [R], weights [R, S], mask [R, S] bool).
+      ``weights`` are zero outside the mask, so downstream losses see
+      exactly the reference's compacted weight list.
+    """
+    # Pass 1: transmittance over *all* samples decides the keep mask.
+    acc_all = exclusive_cumsum(sec_density, axis=-1)
+    mask = jnp.exp(-acc_all) > trans_eps                       # prefix mask
+
+    # Pass 2: composite over kept samples only. Masked densities make the
+    # prefix sums identical to compacting (mask is a prefix per ray).
+    sd = sec_density * mask
+    acc = exclusive_cumsum(sd, axis=-1)
+    trans = jnp.exp(-acc)
+    alpha = 1.0 - jnp.exp(-sd)                                 # 0 when masked
+    weights = trans * alpha                                    # [R, S]
+
+    last_trans = jnp.exp(-jnp.sum(sd, axis=-1))                # [R]
+    rgb = (jnp.sum(weights[..., None] * colors, axis=-2)
+           + last_trans[..., None] * bg_color)
+    # depth = sum w*(t+0.01) / (1 - last_trans + 1e-4), renderer.cpp:107,118
+    depth = (jnp.sum(weights * (t + 1e-2), axis=-1)
+             / (1.0 - last_trans + 1e-4))
+    return rgb, depth, weights, mask
+
+
+def weight_variance(weights: jnp.ndarray, mask: jnp.ndarray,
+                    scale: float = 16.0) -> jnp.ndarray:
+    """Per-ray variance of the sample-weight distribution.
+
+    Distortion-style regularizer, reference src/CustomOps/CustomOps.cu:13-67
+    (WeightVarLoss): positions are i/SCALE for the i-th *kept* sample; the
+    keep mask is a prefix, so position index == sample index here.
+
+    Args:
+      weights: [R, S] compositing weights (zero outside mask).
+      mask: [R, S] keep mask.
+      scale: SCALE=16 position divisor.
+
+    Returns:
+      [R] per-ray variance.
+    """
+    s = weights.shape[-1]
+    pos = (jnp.arange(s, dtype=jnp.float32) / scale)[None, :]   # [1, S]
+    w = weights * mask
+    weight_sum = jnp.sum(w, axis=-1) + 1e-6
+    mean = jnp.sum(w * pos, axis=-1) / weight_sum
+    bias = pos - mean[..., None]
+    return jnp.sum(w * bias * bias, axis=-1)

@@ -1,0 +1,178 @@
+"""Training loop: driver around the jitted step.
+
+Mirrors the reference TrainManager (src/main_functions/train_manager.cpp):
+* train_log.txt lines ``Time / Iter / PSNR (EMA 0.9) / LOSS / LR`` every
+  report_freq iters (:138-153),
+* vis PNGs ``[gt | pred | depth]`` every vis_freq iters (:111-130),
+* checkpoints every save_freq iters — but with optimizer state + step so
+  training truly resumes (unlike the reference, SURVEY.md §5.4),
+* config copied into the result dir so runs are self-describing
+  (SURVEY.md §5.6).
+
+Metrics are fetched from the device one report-interval behind the
+current dispatch, so the host never blocks the TPU on ``.item()``-style
+syncs (the reference forces a sync every iteration,
+train_manager.cpp:95-100 — a perf hazard SURVEY.md §3.1 calls out).
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f2nerf_tpu.core.config import Config
+from f2nerf_tpu.data.dataset import Dataset
+from f2nerf_tpu.models import renderer
+from f2nerf_tpu.parallel import mesh as mesh_lib
+from f2nerf_tpu.train import checkpoint as ckpt_lib
+from f2nerf_tpu.train.optim import lr_schedule, make_optimizer
+from f2nerf_tpu.train.step import make_train_step
+from f2nerf_tpu.utils.image_io import write_image
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dataset: Dataset,
+                 result_dir: str | pathlib.Path | None = None,
+                 encode_fn=None, use_mesh: bool = True):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.result_dir = (pathlib.Path(result_dir)
+                           if result_dir is not None else None)
+        self.encode_fn = encode_fn
+
+        key = jax.random.key(cfg.train.seed)
+        self.params, self.consts = renderer.init(
+            key, cfg.model, dataset.n_images, np_seed=cfg.train.seed)
+        self.optimizer = make_optimizer(cfg.train)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = 0
+
+        self.mesh = mesh_lib.make_mesh() if use_mesh else None
+        if self.mesh is not None:
+            self.params = mesh_lib.replicate(self.mesh, self.params)
+            self.consts = mesh_lib.replicate(self.mesh, self.consts)
+            self.opt_state = mesh_lib.replicate(self.mesh, self.opt_state)
+
+        self.poses = jnp.asarray(dataset.poses)
+        self.intrinsics = jnp.asarray(dataset.intrinsics)
+        if self.mesh is not None:
+            self.poses, self.intrinsics = (
+                mesh_lib.replicate(self.mesh, self.poses),
+                mesh_lib.replicate(self.mesh, self.intrinsics))
+
+        self._step_fn = jax.jit(
+            make_train_step(cfg, self.optimizer, encode_fn=encode_fn),
+            donate_argnums=(0, 1))
+        self._rng = np.random.default_rng(cfg.train.seed)
+        self._lr = lr_schedule(cfg.train)
+        self.psnr_smooth = -1.0
+
+        if self.result_dir is not None:
+            self.result_dir.mkdir(parents=True, exist_ok=True)
+            cfg.save(self.result_dir / "train_config.yaml")
+            dataset.save_inference_params(self.result_dir)
+            self._log_file = open(self.result_dir / "train_log.txt", "a")
+        else:
+            self._log_file = None
+
+    # -- checkpoint / resume ------------------------------------------------
+    def save_checkpoint(self) -> None:
+        if self.result_dir is None:
+            return
+        ckpt_lib.save(self.result_dir / "checkpoints", self.step,
+                      self.params, self.opt_state, self.consts)
+
+    def try_resume(self) -> bool:
+        if self.result_dir is None:
+            return False
+        step = ckpt_lib.latest_step(self.result_dir / "checkpoints")
+        if step is None:
+            return False
+        state = ckpt_lib.restore(
+            self.result_dir / "checkpoints",
+            {"params": self.params, "opt_state": self.opt_state,
+             "consts": self.consts, "step": 0})
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.consts = state["consts"]
+        self.step = int(state["step"])
+        return True
+
+    # -- the loop -----------------------------------------------------------
+    def run(self, n_steps: int | None = None) -> dict:
+        cfg = self.cfg
+        end = (self.step + n_steps if n_steps is not None
+               else cfg.train.end_iter)
+        batch = cfg.train.rays_per_step
+        t0 = time.monotonic()
+        pending: list[tuple[int, object]] = []
+        last_metrics = None
+
+        while self.step < end:
+            cam_idx, ij, gt = self.dataset.sample_batch(self._rng, batch)
+            if self.mesh is not None:
+                cam_idx, ij, gt = mesh_lib.shard_batch(
+                    self.mesh, cam_idx, ij, gt)
+            self.params, self.opt_state, metrics = self._step_fn(
+                self.params, self.opt_state, self.consts,
+                self.poses, self.intrinsics,
+                jnp.asarray(self.step, jnp.int32), cam_idx, ij, gt)
+            self.step += 1
+            pending.append((self.step, metrics))
+
+            if self.step % cfg.train.report_freq == 0:
+                last_metrics = self._report(pending, t0)
+                pending.clear()
+            if self.step % cfg.train.vis_freq == 0:
+                self._vis()
+            if self.step % cfg.train.save_freq == 0:
+                self.save_checkpoint()
+
+        if pending:
+            last_metrics = self._report(pending, t0)
+        return last_metrics or {}
+
+    def _report(self, pending, t0) -> dict:
+        # fetch all queued metrics at once (single device sync per report)
+        fetched = jax.device_get([m for _, m in pending])
+        for m in fetched:
+            psnr = float(m.psnr)
+            if math.isnan(float(m.mse)):
+                raise FloatingPointError(
+                    f"NaN loss at step {self.step}")  # ref CHECKs, :98-100
+            self.psnr_smooth = (psnr if self.psnr_smooth < 0
+                                else psnr * 0.1 + self.psnr_smooth * 0.9)
+        last = fetched[-1]
+        lr = float(self._lr(self.step))
+        total = int(time.monotonic() - t0)
+        line = (f"Time: {total // 60:02d}:{total % 60:02d} "
+                f"Iter: {self.step:6d} PSNR: {self.psnr_smooth:.6f} "
+                f"LOSS: {float(last.color_loss):.6f} LR: {lr:.6f}")
+        print(line)
+        if self._log_file is not None:
+            self._log_file.write(line + "\n")
+            self._log_file.flush()
+        return {"step": self.step, "psnr": self.psnr_smooth,
+                "color_loss": float(last.color_loss), "lr": lr,
+                "loss": float(last.loss)}
+
+    def _vis(self) -> None:
+        if self.result_dir is None:
+            return
+        ds = self.dataset
+        rgb, depth = renderer.render_image(
+            self.params, self.consts, self.poses[0], self.intrinsics[0],
+            ds.height, ds.width, self.cfg.model,
+            chunk=self.cfg.train.ray_batch_size, encode_fn=self.encode_fn)
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth)
+        depth3 = np.repeat(depth[..., None], 3, axis=-1)
+        concat = np.concatenate([ds.images[0], rgb, depth3], axis=1)
+        out = self.result_dir / "images"
+        out.mkdir(exist_ok=True)
+        write_image(out / f"{self.step:08d}_0.png", concat)

@@ -1,0 +1,97 @@
+"""Jitted training step: rays -> render -> losses -> Adam update.
+
+Reference hot loop: ``src/main_functions/train_manager.cpp:58-158`` —
+Charbonnier color loss ``sqrt((dc)^2 + 1e-4).mean()`` (:78) plus a ramped
+weight-variance distortion loss ``sqrt(var + 1e-2).mean()`` (:80-93).
+
+TPU-first differences from the reference loop (SURVEY.md §3.1):
+* ray generation happens *inside* the jitted step from device-resident
+  poses/intrinsics — the host only ships (cam_idx, ij, gt) per step;
+* metrics stay on device and are fetched asynchronously by the loop —
+  no per-iteration ``.item()`` device syncs;
+* the PRNG is a counter-based fold of (seed, step) so results are
+  independent of how many steps ran per host dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from f2nerf_tpu.core.cameras import rays_from_pose
+from f2nerf_tpu.core.config import Config
+from f2nerf_tpu.models import renderer
+from f2nerf_tpu.ops.composite import weight_variance
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    color_loss: jnp.ndarray
+    var_loss: jnp.ndarray
+    mse: jnp.ndarray
+    psnr: jnp.ndarray
+
+
+def var_loss_weight(step: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Ramp 0 -> var_loss_weight over [var_loss_start, var_loss_end]
+    (reference train_manager.cpp:85-93, strict > comparisons)."""
+    t = cfg.train
+    lin = ((step - t.var_loss_start)
+           / max(t.var_loss_end - t.var_loss_start, 1)
+           * t.var_loss_weight)
+    w = jnp.where(step > t.var_loss_end, t.var_loss_weight,
+                  jnp.where(step > t.var_loss_start, lin, 0.0))
+    return w.astype(jnp.float32)
+
+
+def make_loss_fn(cfg: Config, encode_fn=None):
+    """Loss over a ray batch given (cam_idx, ij, gt)."""
+
+    def loss_fn(params, consts, poses, intrinsics, cam_idx, ij, gt,
+                key, step):
+        sel_poses = poses[cam_idx]               # [B, 3, 4]
+        sel_intr = intrinsics[cam_idx]           # [B, 3, 3]
+        rays_o, rays_d = rays_from_pose(sel_poses, sel_intr,
+                                        ij.astype(jnp.float32))
+        res = renderer.render(params, consts, rays_o, rays_d, cam_idx,
+                              cfg.model, key, train=True,
+                              encode_fn=encode_fn)
+        # Charbonnier color loss (train_manager.cpp:78)
+        color_loss = jnp.mean(
+            jnp.sqrt((res.colors - gt) ** 2 + 1e-4))
+        # Weight-variance loss (train_manager.cpp:80-84)
+        var = weight_variance(res.weights, res.mask)
+        var_loss = jnp.mean(jnp.sqrt(var + 1e-2))
+        w = var_loss_weight(step, cfg)
+        loss = color_loss + var_loss * w
+
+        mse = jnp.mean((res.colors - gt) ** 2)
+        psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+        aux = StepMetrics(loss=loss, color_loss=color_loss,
+                          var_loss=var_loss, mse=mse, psnr=psnr)
+        return loss, aux
+
+    return loss_fn
+
+
+def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
+                    encode_fn=None):
+    """Build the (un-jitted) train step; jit/shard at the call site."""
+    loss_fn = make_loss_fn(cfg, encode_fn=encode_fn)
+
+    def train_step(params: Any, opt_state: Any, consts: Any,
+                   poses: jnp.ndarray, intrinsics: jnp.ndarray,
+                   step: jnp.ndarray, cam_idx: jnp.ndarray,
+                   ij: jnp.ndarray, gt: jnp.ndarray):
+        key = jax.random.fold_in(
+            jax.random.key(cfg.train.seed), step.astype(jnp.uint32))
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, consts, poses, intrinsics, cam_idx, ij, gt, key, step)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step
