@@ -1,0 +1,99 @@
+"""Benchmark: training-step throughput (rays/s/chip, fwd+bwd) on the
+flagship F2-NeRF operating point (512 rays x 1024 samples/ray, 16-level
+2^19 hash grid — reference envelope, BASELINE.md).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+denominator is the F2-NeRF paper's implied training throughput on an RTX
+2080Ti (~20k steps x 512 rays in ~12 min ≈ 14.2k rays/s), the only
+external anchor available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_RAYS_PER_S = 14200.0  # F2-NeRF paper, RTX 2080Ti (see docstring)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny config, few iters (CI smoke)")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--rays", type=int, default=None,
+                    help="override rays/step")
+    args = ap.parse_args()
+
+    from f2nerf_tpu.core.config import Config
+    from f2nerf_tpu.models import renderer
+    from f2nerf_tpu.train.optim import make_optimizer
+    from f2nerf_tpu.train.step import make_train_step
+
+    cfg = Config.tiny() if args.quick else Config()
+    if args.rays:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           pts_batch_size=args.rays * 512))
+    batch = cfg.train.rays_per_step
+    n_images = 8
+
+    key = jax.random.key(0)
+    params, consts = renderer.init(key, cfg.model, n_images)
+    optimizer = make_optimizer(cfg.train)
+    opt_state = optimizer.init(params)
+
+    h, w = 256, 256
+    rng = np.random.default_rng(0)
+    poses = jnp.tile(jnp.eye(3, 4)[None], (n_images, 1, 1))
+    intr = jnp.tile(jnp.asarray(
+        [[200.0, 0, w / 2], [0, 200.0, h / 2], [0, 0, 1.0]])[None],
+        (n_images, 1, 1))
+
+    step_fn = jax.jit(make_train_step(cfg, optimizer),
+                      donate_argnums=(0, 1))
+
+    def batch_data():
+        cam = rng.integers(0, n_images, batch).astype(np.int32)
+        ij = np.stack([rng.integers(0, h, batch),
+                       rng.integers(0, w, batch)], -1).astype(np.int32)
+        gt = rng.random((batch, 3)).astype(np.float32)
+        return cam, ij, gt
+
+    # warmup / compile
+    cam, ij, gt = batch_data()
+    params, opt_state, m = step_fn(params, opt_state, consts, poses, intr,
+                                   jnp.asarray(0, jnp.int32), cam, ij, gt)
+    jax.block_until_ready(m.loss)
+
+    iters = 10 if args.quick else args.iters
+    batches = [batch_data() for _ in range(iters)]
+    t0 = time.perf_counter()
+    for k, (cam, ij, gt) in enumerate(batches):
+        params, opt_state, m = step_fn(
+            params, opt_state, consts, poses, intr,
+            jnp.asarray(k + 1, jnp.int32), cam, ij, gt)
+    jax.block_until_ready(m.loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    rays_per_s = iters * batch / dt / n_chips
+    print(json.dumps({
+        "metric": "train_rays_per_s_per_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s/chip (fwd+bwd+adam, 1024 samples/ray)"
+        if not args.quick else "rays/s/chip (tiny cfg)",
+        "vs_baseline": round(rays_per_s / REFERENCE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,11 @@ class ModelConfig:
     n_levels: int = 16              # N_LEVELS
     n_channels: int = 2             # N_CHANNELS
     log2_table_size: int = 19       # pool_size = 2^19 * n_levels
+    # 'paged' = TPU-native paged additive hash (ops/hash_paged.py, fast);
+    # 'xor'   = reference-style per-corner XOR-prime hash (oracle path)
+    hash_mode: str = "paged"
+    init_seed: int = 2022           # numpy-side init (primes, page consts)
+    encode_chunk: int = 65536       # points per paged-encode chunk
     res_base_pow2: float = 3.0      # per-level res = exp2(3 + 7*l/15): 8..1024
     res_fine_pow2: float = 10.0
     contraction_radius: float = 1.0  # src/hash_3d_anchored.cpp:79

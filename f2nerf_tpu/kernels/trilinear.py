@@ -1,0 +1,170 @@
+"""Pallas TPU kernels for the paged hash-grid trilinear contraction.
+
+The paged encode (ops/hash_paged.py) is: XLA row-gather -> trilinear
+contraction of each fetched 5x5x5 haloed page against per-point weights.
+XLA executes the contraction ~10x off roofline because it materializes
+the [N, L, 128] weight rows (measured: ~24 ms per 2M rows vs ~2.5 ms of
+raw traffic). These kernels build the weights in-register and stream the
+rows once.
+
+Layout: the (point, level) pairs are FLATTENED into one row stream — the
+kernel does not care which level a row belongs to, because the weights
+depend only on the packed (local, frac) coords. This sidesteps Mosaic's
+block-width rules (last dim must be 128-divisible or full) that a
+per-level column layout would violate:
+
+* rows  [M, C*128] bf16   (M = N * L)
+* combo [M, 8] f32        lanes: lx, ly, lz, fx, fy, fz, pad, pad
+* out   [M, 8] f32        lanes 0..C-1 = feature channels
+
+Weight math: haloed-page slot s in [0, 125) = (sx*25 + sy*5 + sz) has
+w[s] = wx[sx] * wy[sy] * wz[sz], where per axis
+w_ax[v] = (1-f)*[v==l] + f*[v==l+1]. Pad slots (125..127) never match
+any l in [0, 4), so their weight is exactly 0. The backward d_frac path
+is the analytic corner-sign gradient (reference
+src/hash_3d_anchored.cu:122-133 equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_PAD = 128
+TILE = 1024  # rows per grid step
+OUT_W = 8    # lane-padded small outputs
+
+
+def _slot_iotas():
+    s = jax.lax.broadcasted_iota(jnp.int32, (1, ROW_PAD), 1)
+    return s // 25, (s // 5) % 5, s % 5
+
+
+def _axis_factors(loc, fr, s_ax):
+    """loc/fr: [T, 1]; s_ax: [1, 128] -> (w [T,128], dw [T,128])."""
+    at0 = (s_ax == loc).astype(jnp.float32)
+    at1 = (s_ax == loc + 1).astype(jnp.float32)
+    w = at0 * (1.0 - fr) + at1 * fr
+    dw = at1 - at0
+    return w, dw
+
+
+def _weights(combo_ref):
+    sx, sy, sz = _slot_iotas()
+    loc = combo_ref[:, 0:3].astype(jnp.int32)
+    wx, dwx = _axis_factors(loc[:, 0:1], combo_ref[:, 3:4], sx)
+    wy, dwy = _axis_factors(loc[:, 1:2], combo_ref[:, 4:5], sy)
+    wz, dwz = _axis_factors(loc[:, 2:3], combo_ref[:, 5:6], sz)
+    return (wx, wy, wz), (dwx, dwy, dwz)
+
+
+def _fwd_kernel(rows_ref, combo_ref, out_ref, *, n_channels):
+    (wx, wy, wz), _ = _weights(combo_ref)
+    w = wx * wy * wz                                       # [T, 128]
+    cols = []
+    for c in range(n_channels):
+        ch = rows_ref[:, c * ROW_PAD:(c + 1) * ROW_PAD].astype(
+            jnp.float32)
+        cols.append(jnp.sum(ch * w, axis=1, keepdims=True))
+    cols.append(jnp.zeros((rows_ref.shape[0], OUT_W - n_channels),
+                          jnp.float32))
+    out_ref[:] = jnp.concatenate(cols, axis=1)             # [T, 8]
+
+
+def _bwd_kernel(rows_ref, combo_ref, g_ref, drows_ref, dfrac_ref,
+                *, n_channels):
+    (wx, wy, wz), (dwx, dwy, dwz) = _weights(combo_ref)
+    w = wx * wy * wz
+    d_w = jnp.zeros_like(w)
+    for c in range(n_channels):
+        gc = g_ref[:, c:c + 1]
+        sl = slice(c * ROW_PAD, (c + 1) * ROW_PAD)
+        drows_ref[:, sl] = (gc * w).astype(drows_ref.dtype)
+        d_w = d_w + gc * rows_ref[:, sl].astype(jnp.float32)
+    dfrac_ref[:] = jnp.concatenate([
+        jnp.sum(d_w * dwx * wy * wz, axis=1, keepdims=True),
+        jnp.sum(d_w * wx * dwy * wz, axis=1, keepdims=True),
+        jnp.sum(d_w * wx * wy * dwz, axis=1, keepdims=True),
+        jnp.zeros((rows_ref.shape[0], OUT_W - 3), jnp.float32),
+    ], axis=1)                                             # [T, 8]
+
+
+def _pack_combo(local: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
+    """local/frac [..., 3] -> [M, 8] packed float rows."""
+    m = int(np_prod(local.shape[:-1]))
+    combo = jnp.concatenate(
+        [local.reshape(m, 3).astype(jnp.float32), frac.reshape(m, 3)],
+        axis=1)
+    return jnp.pad(combo, ((0, 0), (0, OUT_W - 6)))
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
+def contract_fwd(rows: jnp.ndarray, local: jnp.ndarray, frac: jnp.ndarray,
+                 n_levels: int, n_channels: int) -> jnp.ndarray:
+    """rows [N, L*C*128] bf16; local/frac [N, L, 3] -> feat [N, L*C] f32.
+    N*L must be a multiple of TILE."""
+    n = rows.shape[0]
+    m = n * n_levels
+    cw = n_channels * ROW_PAD
+    combo = _pack_combo(local, frac)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_channels=n_channels),
+        grid=(m // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, cw), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, OUT_W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, OUT_W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, OUT_W), jnp.float32),
+    )(rows.reshape(m, cw), combo)
+    return out[:, :n_channels].reshape(n, n_levels * n_channels)
+
+
+def contract_bwd(rows: jnp.ndarray, local: jnp.ndarray, frac: jnp.ndarray,
+                 g: jnp.ndarray, n_levels: int, n_channels: int
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Backward: g [N, L*C] f32 -> (d_rows [N, L*C*128] same dtype as
+    rows, d_frac [N, L, 3] f32)."""
+    n = rows.shape[0]
+    m = n * n_levels
+    cw = n_channels * ROW_PAD
+    combo = _pack_combo(local, frac)
+    g_pad = jnp.pad(g.reshape(m, n_channels),
+                    ((0, 0), (0, OUT_W - n_channels)))
+    d_rows, d_frac = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_channels=n_channels),
+        grid=(m // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, cw), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, OUT_W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, OUT_W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, cw), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, OUT_W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, cw), rows.dtype),
+            jax.ShapeDtypeStruct((m, OUT_W), jnp.float32),
+        ),
+    )(rows.reshape(m, cw), combo, g_pad)
+    return (d_rows.reshape(n, n_levels * cw),
+            d_frac[:, :3].reshape(n, n_levels, 3))

@@ -5,14 +5,19 @@ encoder behind a radial contraction, followed by a single Linear(32 -> 16)
 head. Parameters are a plain pytree (no module framework) so they shard /
 optimize / checkpoint transparently.
 
-Layout choice: the feature pool is ``[L, T, C]`` (level-major) instead of
-the reference's flat ``[L*T, C]`` — level-major tables let the Pallas
-kernel DMA one level's table into VMEM at a time (SURVEY.md §7 "hard
-parts" #1).
+Two encode backends (cfg.hash_mode):
+
+* ``"paged"`` (default, TPU-native): ops/hash_paged.py — additive paged
+  hash, one wide row-gather per (point, level), deterministic
+  segment-sum backward. Parameter capacity matches the reference pool.
+* ``"xor"``: ops/hash_encode.py — faithful re-implementation of the
+  reference's per-corner XOR-prime hash (src/hash_3d_anchored.cu:27-58);
+  slow on TPU (128 row fetches/point) but the semantic parity oracle.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -22,37 +27,56 @@ import numpy as np
 from f2nerf_tpu.core.config import ModelConfig
 from f2nerf_tpu.ops.contraction import contract
 from f2nerf_tpu.ops.hash_encode import hash_encode, init_primes, level_scales
+from f2nerf_tpu.ops import hash_paged
 
 Params = dict[str, Any]
 
 
+@functools.lru_cache(maxsize=16)
+def paged_meta(cfg: ModelConfig) -> hash_paged.PagedMeta:
+    """Static paged-table layout, derived deterministically from config."""
+    scales = level_scales(cfg.n_levels, cfg.res_base_pow2,
+                          cfg.res_fine_pow2)
+    return hash_paged.make_paged_meta(
+        cfg.n_levels, cfg.table_size, cfg.n_channels, scales,
+        np_seed=cfg.init_seed)
+
+
 def init(key: jax.Array, cfg: ModelConfig,
-         np_seed: int = 2022) -> tuple[Params, Params]:
+         np_seed: int | None = None) -> tuple[Params, Params]:
     """Initialize field parameters and non-trained constants.
 
     Init distributions replicate the reference:
     * feat_pool ~ (U[0,1) * 0.2 - 1) * 1e-4  (src/hash_3d_anchored.cpp:24)
-    * primes: random primes in [2^28, 2^30)   (:28-55)
+    * primes: random primes in [2^28, 2^30)   (:28-55) (xor mode)
     * biases ~ U[100, 1100)                   (:56)
     * mlp: torch Linear default U(-1/sqrt(in), 1/sqrt(in))
 
-    Returns:
-      (params {feat_pool, mlp}, consts {primes, biases, scales}) — the
-    constants are the reference's non-trained registered buffers
-    (prim_pool/bias_pool are never in an optimizer group,
-    src/hash_3d_anchored.cpp:90-114).
+    Returns (params {feat_pool, mlp}, consts) — consts are the
+    reference's non-trained registered buffers (prim_pool/bias_pool are
+    never in an optimizer group, src/hash_3d_anchored.cpp:90-114). In
+    paged mode all hash constants are static (from cfg) so consts is
+    empty.
     """
+    if np_seed is None:
+        np_seed = cfg.init_seed
     k_feat, k_bias, k_w, k_b = jax.random.split(key, 4)
     l, t, c = cfg.n_levels, cfg.table_size, cfg.n_channels
-    # fp32 master weights; cast to bf16 at compute time in query() —
-    # mirrors the reference's fp32 pool + fp16 kernel cast
-    # (src/hash_3d_anchored.cu:167 feat_pool.to(kFloat16)).
-    feat = (jax.random.uniform(k_feat, (l, t, c)) * 0.2 - 1.0) * 1e-4
 
-    rng = np.random.default_rng(np_seed)
-    primes = init_primes(rng, l)
-
-    biases = jax.random.uniform(k_bias, (l, 3)) * 1000.0 + 100.0
+    if cfg.hash_mode == "paged":
+        feat = hash_paged.init_pages(k_feat, paged_meta(cfg))
+        consts: Params = {}
+    elif cfg.hash_mode == "xor":
+        feat = (jax.random.uniform(k_feat, (l, t, c)) * 0.2 - 1.0) * 1e-4
+        rng = np.random.default_rng(np_seed)
+        consts = {
+            "primes": jnp.asarray(init_primes(rng, l)),
+            "biases": jax.random.uniform(k_bias, (l, 3)) * 1000.0 + 100.0,
+            "scales": jnp.asarray(
+                level_scales(l, cfg.res_base_pow2, cfg.res_fine_pow2)),
+        }
+    else:
+        raise ValueError(f"unknown hash_mode {cfg.hash_mode!r}")
 
     in_dim = l * c
     bound = 1.0 / np.sqrt(in_dim)
@@ -62,12 +86,6 @@ def init(key: jax.Array, cfg: ModelConfig,
                            minval=-bound, maxval=bound)
 
     params = {"feat_pool": feat, "mlp": {"w": w, "b": b}}
-    consts = {
-        "primes": jnp.asarray(primes),
-        "biases": biases,
-        "scales": jnp.asarray(
-            level_scales(l, cfg.res_base_pow2, cfg.res_fine_pow2)),
-    }
     return params, consts
 
 
@@ -79,21 +97,30 @@ def query(params: Params, consts: Params, points: jnp.ndarray,
 
     Args:
       params: trainable field params from :func:`init`.
-      consts: hash constants (primes/biases/scales).
+      consts: hash constants (xor mode only).
       points: [N, 3] world-space points.
-      encode_fn: optional override of the encode implementation
-        (e.g. the Pallas kernel); defaults to the pure-jnp path.
+      encode_fn: optional encode override (signature of hash_encode).
 
     Returns:
       [N, hash_feat_dim] float32 features (channel 0 is raw density).
     """
     x = contract(points, cfg.contraction_radius)
-    fn = encode_fn if encode_fn is not None else hash_encode
-    pool = params["feat_pool"]
-    if cfg.bf16_features:
-        pool = pool.astype(jnp.bfloat16)
-    feat = fn(x, pool,
-              jax.lax.stop_gradient(consts["primes"]),
-              jax.lax.stop_gradient(consts["biases"]),
-              jax.lax.stop_gradient(consts["scales"]))
+    compute_dtype = jnp.bfloat16 if cfg.bf16_features else jnp.float32
+    if encode_fn is not None:
+        feat = encode_fn(x, params["feat_pool"],
+                         jax.lax.stop_gradient(consts["primes"]),
+                         jax.lax.stop_gradient(consts["biases"]),
+                         jax.lax.stop_gradient(consts["scales"]))
+    elif cfg.hash_mode == "paged":
+        feat = hash_paged.paged_encode(
+            x, params["feat_pool"], paged_meta(cfg),
+            compute_dtype=compute_dtype, chunk=cfg.encode_chunk)
+    else:
+        pool = params["feat_pool"]
+        if cfg.bf16_features:
+            pool = pool.astype(jnp.bfloat16)
+        feat = hash_encode(x, pool,
+                           jax.lax.stop_gradient(consts["primes"]),
+                           jax.lax.stop_gradient(consts["biases"]),
+                           jax.lax.stop_gradient(consts["scales"]))
     return feat @ params["mlp"]["w"] + params["mlp"]["b"]
