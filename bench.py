@@ -37,19 +37,28 @@ def main() -> None:
     from f2nerf_tpu.train.optim import make_optimizer
     from f2nerf_tpu.train.step import make_train_step
 
+    import dataclasses
+
     cfg = Config.tiny() if args.quick else Config()
-    if args.rays:
-        import dataclasses
+    rays = args.rays
+    if rays is None and not args.quick:
+        # throughput bench: saturate the chip (the reference's 512-ray
+        # batch is latency-bound at occ-mode sample counts)
+        rays = 8192
+    if rays:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
-                                           pts_batch_size=args.rays * 512))
+                                           pts_batch_size=rays * 512))
     batch = cfg.train.rays_per_step
     n_images = 8
+
+    from f2nerf_tpu.models import occupancy
 
     key = jax.random.key(0)
     params, consts = renderer.init(key, cfg.model, n_images)
     optimizer = make_optimizer(cfg.train)
     opt_state = optimizer.init(params)
+    occ_grid = occupancy.init_grid(cfg.model)
 
     h, w = 256, 256
     rng = np.random.default_rng(0)
@@ -59,7 +68,7 @@ def main() -> None:
         (n_images, 1, 1))
 
     step_fn = jax.jit(make_train_step(cfg, optimizer),
-                      donate_argnums=(0, 1))
+                      donate_argnums=(0, 1, 2))
 
     def batch_data():
         cam = rng.integers(0, n_images, batch).astype(np.int32)
@@ -68,28 +77,35 @@ def main() -> None:
         gt = rng.random((batch, 3)).astype(np.float32)
         return cam, ij, gt
 
-    # warmup / compile
+    # warmup / compile (float() forces real completion; NB
+    # block_until_ready does not actually block under the axon platform)
     cam, ij, gt = batch_data()
-    params, opt_state, m = step_fn(params, opt_state, consts, poses, intr,
-                                   jnp.asarray(0, jnp.int32), cam, ij, gt)
-    jax.block_until_ready(m.loss)
+    params, opt_state, occ_grid, m = step_fn(
+        params, opt_state, occ_grid, consts, poses, intr,
+        jnp.asarray(0, jnp.int32), cam, ij, gt)
+    _ = float(m.loss)
 
     iters = 10 if args.quick else args.iters
     batches = [batch_data() for _ in range(iters)]
     t0 = time.perf_counter()
     for k, (cam, ij, gt) in enumerate(batches):
-        params, opt_state, m = step_fn(
-            params, opt_state, consts, poses, intr,
+        params, opt_state, occ_grid, m = step_fn(
+            params, opt_state, occ_grid, consts, poses, intr,
             jnp.asarray(k + 1, jnp.int32), cam, ij, gt)
-    jax.block_until_ready(m.loss)
+    _ = float(m.loss)
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
     rays_per_s = iters * batch / dt / n_chips
+    if cfg.model.sampler_mode == "occ":
+        spr = cfg.model.occ_keep * cfg.model.occ_samples_per_segment
+        mode = f"occ sampler, {spr} samples/ray"
+    else:
+        mode = f"dense, {cfg.model.n_samples} samples/ray"
     print(json.dumps({
         "metric": "train_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),
-        "unit": "rays/s/chip (fwd+bwd+adam, 1024 samples/ray)"
+        "unit": f"rays/s/chip (fwd+bwd+adam, {mode})"
         if not args.quick else "rays/s/chip (tiny cfg)",
         "vs_baseline": round(rays_per_s / REFERENCE_RAYS_PER_S, 3),
     }))

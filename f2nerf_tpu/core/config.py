@@ -26,9 +26,14 @@ import yaml
 class ModelConfig:
     """Model shape. Defaults replicate the reference exactly."""
 
-    # Hash grid (reference src/hash_3d_anchored.{hpp,cpp,cu})
-    n_levels: int = 16              # N_LEVELS
-    n_channels: int = 2             # N_CHANNELS
+    # Hash grid. The reference uses 16 levels x 2 channels
+    # (src/hash_3d_anchored.hpp:10-11); the TPU-native default is
+    # 8 levels x 4 channels — same total capacity and the same 32-wide
+    # MLP input, but half the row fetches per point (the encode is
+    # row-rate-bound on TPU, see ops/hash_paged.py). Set 16/2 to mirror
+    # the reference exactly.
+    n_levels: int = 8               # N_LEVELS
+    n_channels: int = 4             # N_CHANNELS
     log2_table_size: int = 19       # pool_size = 2^19 * n_levels
     # 'paged' = TPU-native paged additive hash (ops/hash_paged.py, fast);
     # 'xor'   = reference-style per-corner XOR-prime hash (oracle path)
@@ -49,6 +54,20 @@ class ModelConfig:
     # Sampler (reference src/points_sampler.{hpp,cpp})
     n_samples: int = 1024           # MAX_SAMPLE_PER_RAY
     sample_l: float = 1.0 / 256.0   # SAMPLE_L
+    # 'occ' = occupancy-guided sampling (models/occupancy.py, restores
+    # the F2-NeRF/NGP occupancy grid the fork stripped — 8x fewer field
+    # queries at the same fine spacing); 'dense' = reference-parity
+    # uniform marcher.
+    sampler_mode: str = "occ"
+    occ_grid_res: int = 128
+    occ_segments: int = 128
+    occ_keep: int = 16
+    occ_samples_per_segment: int = 8
+    occ_update_every: int = 16
+    occ_decay: float = 0.8
+    # a cell is occupied while its density-EMA's per-segment alpha
+    # contribution 1-exp(-sigma*seg_len) exceeds this
+    occ_thresh: float = 0.01
 
     # Renderer
     trans_eps: float = 1e-4         # early-stop transmittance, src/renderer.cpp:65
@@ -117,7 +136,8 @@ class Config:
         return Config(
             model=ModelConfig(
                 n_levels=4, log2_table_size=14, n_samples=64,
-                sample_l=1.0 / 16.0, bf16_features=False),
+                sample_l=1.0 / 16.0, bf16_features=False,
+                sampler_mode="dense"),
             train=TrainConfig(pts_batch_size=32768, end_iter=200,
                               report_freq=50, vis_freq=10**9,
                               save_freq=10**9,

@@ -70,8 +70,9 @@ def _fwd_kernel(rows_ref, combo_ref, out_ref, *, n_channels):
         ch = rows_ref[:, c * ROW_PAD:(c + 1) * ROW_PAD].astype(
             jnp.float32)
         cols.append(jnp.sum(ch * w, axis=1, keepdims=True))
-    cols.append(jnp.zeros((rows_ref.shape[0], OUT_W - n_channels),
-                          jnp.float32))
+    if n_channels < OUT_W:
+        cols.append(jnp.zeros((rows_ref.shape[0], OUT_W - n_channels),
+                              jnp.float32))
     out_ref[:] = jnp.concatenate(cols, axis=1)             # [T, 8]
 
 

@@ -90,7 +90,8 @@ def init(key: jax.Array, cfg: ModelConfig,
 
 
 def query(params: Params, consts: Params, points: jnp.ndarray,
-          cfg: ModelConfig, encode_fn=None) -> jnp.ndarray:
+          cfg: ModelConfig, encode_fn=None,
+          pre_contracted: bool = False) -> jnp.ndarray:
     """Query the field: contraction -> hash encode -> linear head.
 
     Reference src/hash_3d_anchored.cpp:70-88 (Hash3DAnchored::query).
@@ -104,7 +105,8 @@ def query(params: Params, consts: Params, points: jnp.ndarray,
     Returns:
       [N, hash_feat_dim] float32 features (channel 0 is raw density).
     """
-    x = contract(points, cfg.contraction_radius)
+    x = points if pre_contracted else contract(points,
+                                               cfg.contraction_radius)
     compute_dtype = jnp.bfloat16 if cfg.bf16_features else jnp.float32
     if encode_fn is not None:
         feat = encode_fn(x, params["feat_pool"],

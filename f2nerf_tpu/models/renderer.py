@@ -49,11 +49,22 @@ def init(key: jax.Array, cfg: ModelConfig, n_images: int,
     return params, consts
 
 
+def density_at(params: Params, consts: Params, points: jnp.ndarray,
+               cfg: ModelConfig, contracted: bool = False) -> jnp.ndarray:
+    """[N, 3] points -> [N] sigma (used by the occupancy-grid refresh;
+    pass contracted=True for points already in contracted space, e.g.
+    occupancy cell centers, to avoid double contraction)."""
+    feat = hash_field.query(params["field"], consts.get("field", {}),
+                            points, cfg, pre_contracted=contracted)
+    return density_activation(feat[..., 0], cfg.density_shift)
+
+
 def render(params: Params, consts: Params, rays_o: jnp.ndarray,
            rays_d: jnp.ndarray,
            emb_idx: jnp.ndarray | None, cfg: ModelConfig,
            key: jax.Array | None, train: bool,
-           encode_fn=None) -> RenderResult:
+           encode_fn=None, occ_bits: jnp.ndarray | None = None
+           ) -> RenderResult:
     """Render a batch of rays.
 
     Args:
@@ -64,6 +75,8 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
       train: TRAIN mode = stratified jitter, random background, app_emb.
         VALIDATE = no jitter, grey (0.5) background, no app_emb.
       encode_fn: optional hash-encode override (Pallas kernel).
+      occ_bits: [G^3] occupancy bits; required when
+        cfg.sampler_mode == 'occ'.
     """
     r = rays_o.shape[0]
     if train:
@@ -73,8 +86,16 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
         key_noise = None
         bg_color = jnp.full((r, 3), 0.5)
 
-    smp = sampler.sample_rays(rays_o, rays_d, cfg, key_noise)
-    s = cfg.n_samples
+    if cfg.sampler_mode == "occ":
+        if occ_bits is None:
+            raise ValueError("sampler_mode='occ' requires occ_bits")
+        from f2nerf_tpu.models import occupancy
+        smp = occupancy.sample_rays_occ(rays_o, rays_d, occ_bits, cfg,
+                                        key_noise)
+        s = cfg.occ_keep * cfg.occ_samples_per_segment
+    else:
+        smp = sampler.sample_rays(rays_o, rays_d, cfg, key_noise)
+        s = cfg.n_samples
 
     flat_pts = smp.pts.reshape(r * s, 3)
     feat = hash_field.query(params["field"], consts["field"], flat_pts,
@@ -102,7 +123,12 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _jit_validate_render(cfg: ModelConfig, encode_fn):
+def _jit_validate_render(cfg: ModelConfig, encode_fn, with_occ: bool):
+    if with_occ:
+        return jax.jit(
+            lambda p, c, o, d, b: render(p, c, o, d, None, cfg, None,
+                                         train=False, encode_fn=encode_fn,
+                                         occ_bits=b)[:2])
     return jax.jit(
         lambda p, c, o, d: render(p, c, o, d, None, cfg, None, train=False,
                                   encode_fn=encode_fn)[:2])
@@ -110,15 +136,17 @@ def _jit_validate_render(cfg: ModelConfig, encode_fn):
 
 def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
                         rays_d: jnp.ndarray, cfg: ModelConfig,
-                        chunk: int = 8192,
-                        encode_fn=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+                        chunk: int = 8192, encode_fn=None,
+                        occ_bits: jnp.ndarray | None = None
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """VALIDATE-mode render of many rays in fixed-size chunks.
 
     Reference Renderer::render_all_rays (src/renderer.cpp:125-151). Pads
     the final chunk so every call hits the same compiled shape.
     """
     n = rays_o.shape[0]
-    fn = _jit_validate_render(cfg, encode_fn)
+    with_occ = cfg.sampler_mode == "occ"
+    fn = _jit_validate_render(cfg, encode_fn, with_occ)
     outs_c, outs_d = [], []
     for i in range(0, n, chunk):
         o = rays_o[i:i + chunk]
@@ -127,7 +155,10 @@ def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
         if pad:
             o = jnp.pad(o, ((0, pad), (0, 0)), constant_values=1.0)
             d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-        c, dep = fn(params, consts, o, d)
+        if with_occ:
+            c, dep = fn(params, consts, o, d, occ_bits)
+        else:
+            c, dep = fn(params, consts, o, d)
         outs_c.append(c[:chunk - pad] if pad else c)
         outs_d.append(dep[:chunk - pad] if pad else dep)
     return jnp.concatenate(outs_c, 0), jnp.concatenate(outs_d, 0)
@@ -136,7 +167,8 @@ def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
 def render_image(params: Params, consts: Params, pose: jnp.ndarray,
                  intrinsic: jnp.ndarray,
                  h: int, w: int, cfg: ModelConfig, chunk: int = 8192,
-                 encode_fn=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 encode_fn=None, occ_bits: jnp.ndarray | None = None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render a full image; returns (rgb [H, W, 3] clipped, depth [H, W]).
 
     Reference Renderer::render_image (src/renderer.cpp:153-172).
@@ -146,6 +178,6 @@ def render_image(params: Params, consts: Params, pose: jnp.ndarray,
     rays_o, rays_d = rays_from_pose(pose[None], intrinsic[None], ij)
     colors, depths = render_rays_chunked(
         params, consts, rays_o, rays_d, cfg, chunk=chunk,
-        encode_fn=encode_fn)
+        encode_fn=encode_fn, occ_bits=occ_bits)
     rgb = jnp.clip(colors.reshape(h, w, 3), 0.0, 1.0)
     return rgb, depths.reshape(h, w)

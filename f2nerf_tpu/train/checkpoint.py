@@ -15,11 +15,14 @@ import orbax.checkpoint as ocp
 
 
 def save(ckpt_dir: str | pathlib.Path, step: int, params: Any,
-         opt_state: Any, consts: Any) -> None:
+         opt_state: Any, consts: Any, extra: Any = None) -> None:
     path = pathlib.Path(ckpt_dir).resolve() / f"step_{step:08d}"
+    state = {"params": params, "opt_state": opt_state,
+             "consts": consts, "step": step}
+    if extra is not None:
+        state["extra"] = extra
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {"params": params, "opt_state": opt_state,
-                          "consts": consts, "step": step}, force=True)
+        ckptr.save(path, state, force=True)
 
 
 def latest_step(ckpt_dir: str | pathlib.Path) -> int | None:

@@ -50,6 +50,8 @@ class Trainer:
             key, cfg.model, dataset.n_images, np_seed=cfg.train.seed)
         self.optimizer = make_optimizer(cfg.train)
         self.opt_state = self.optimizer.init(self.params)
+        from f2nerf_tpu.models import occupancy
+        self.occ_grid = occupancy.init_grid(cfg.model)
         self.step = 0
 
         self.mesh = mesh_lib.make_mesh() if use_mesh else None
@@ -57,6 +59,7 @@ class Trainer:
             self.params = mesh_lib.replicate(self.mesh, self.params)
             self.consts = mesh_lib.replicate(self.mesh, self.consts)
             self.opt_state = mesh_lib.replicate(self.mesh, self.opt_state)
+            self.occ_grid = mesh_lib.replicate(self.mesh, self.occ_grid)
 
         self.poses = jnp.asarray(dataset.poses)
         self.intrinsics = jnp.asarray(dataset.intrinsics)
@@ -67,7 +70,7 @@ class Trainer:
 
         self._step_fn = jax.jit(
             make_train_step(cfg, self.optimizer, encode_fn=encode_fn),
-            donate_argnums=(0, 1))
+            donate_argnums=(0, 1, 2))
         self._rng = np.random.default_rng(cfg.train.seed)
         self._lr = lr_schedule(cfg.train)
         self.psnr_smooth = -1.0
@@ -85,7 +88,8 @@ class Trainer:
         if self.result_dir is None:
             return
         ckpt_lib.save(self.result_dir / "checkpoints", self.step,
-                      self.params, self.opt_state, self.consts)
+                      self.params, self.opt_state, self.consts,
+                      extra={"occ_grid": self.occ_grid})
 
     def try_resume(self) -> bool:
         if self.result_dir is None:
@@ -96,10 +100,12 @@ class Trainer:
         state = ckpt_lib.restore(
             self.result_dir / "checkpoints",
             {"params": self.params, "opt_state": self.opt_state,
-             "consts": self.consts, "step": 0})
+             "consts": self.consts, "step": 0,
+             "extra": {"occ_grid": self.occ_grid}})
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.consts = state["consts"]
+        self.occ_grid = state["extra"]["occ_grid"]
         self.step = int(state["step"])
         return True
 
@@ -118,10 +124,11 @@ class Trainer:
             if self.mesh is not None:
                 cam_idx, ij, gt = mesh_lib.shard_batch(
                     self.mesh, cam_idx, ij, gt)
-            self.params, self.opt_state, metrics = self._step_fn(
-                self.params, self.opt_state, self.consts,
-                self.poses, self.intrinsics,
-                jnp.asarray(self.step, jnp.int32), cam_idx, ij, gt)
+            self.params, self.opt_state, self.occ_grid, metrics = \
+                self._step_fn(
+                    self.params, self.opt_state, self.occ_grid,
+                    self.consts, self.poses, self.intrinsics,
+                    jnp.asarray(self.step, jnp.int32), cam_idx, ij, gt)
             self.step += 1
             pending.append((self.step, metrics))
 
@@ -161,6 +168,12 @@ class Trainer:
                 "color_loss": float(last.color_loss), "lr": lr,
                 "loss": float(last.loss)}
 
+    def occ_bits(self):
+        from f2nerf_tpu.models import occupancy
+        if self.cfg.model.sampler_mode != "occ":
+            return None
+        return occupancy.occupancy_bits(self.occ_grid, self.cfg.model)
+
     def _vis(self) -> None:
         if self.result_dir is None:
             return
@@ -168,7 +181,8 @@ class Trainer:
         rgb, depth = renderer.render_image(
             self.params, self.consts, self.poses[0], self.intrinsics[0],
             ds.height, ds.width, self.cfg.model,
-            chunk=self.cfg.train.ray_batch_size, encode_fn=self.encode_fn)
+            chunk=self.cfg.train.ray_batch_size, encode_fn=self.encode_fn,
+            occ_bits=self.occ_bits())
         rgb = np.asarray(rgb)
         depth = np.asarray(depth)
         depth3 = np.repeat(depth[..., None], 3, axis=-1)

@@ -51,14 +51,14 @@ def make_loss_fn(cfg: Config, encode_fn=None):
     """Loss over a ray batch given (cam_idx, ij, gt)."""
 
     def loss_fn(params, consts, poses, intrinsics, cam_idx, ij, gt,
-                key, step):
+                key, step, occ_bits):
         sel_poses = poses[cam_idx]               # [B, 3, 4]
         sel_intr = intrinsics[cam_idx]           # [B, 3, 3]
         rays_o, rays_d = rays_from_pose(sel_poses, sel_intr,
                                         ij.astype(jnp.float32))
         res = renderer.render(params, consts, rays_o, rays_d, cam_idx,
                               cfg.model, key, train=True,
-                              encode_fn=encode_fn)
+                              encode_fn=encode_fn, occ_bits=occ_bits)
         # Charbonnier color loss (train_manager.cpp:78)
         color_loss = jnp.mean(
             jnp.sqrt((res.colors - gt) ** 2 + 1e-4))
@@ -79,19 +79,45 @@ def make_loss_fn(cfg: Config, encode_fn=None):
 
 def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
                     encode_fn=None):
-    """Build the (un-jitted) train step; jit/shard at the call site."""
-    loss_fn = make_loss_fn(cfg, encode_fn=encode_fn)
+    """Build the (un-jitted) train step; jit/shard at the call site.
 
-    def train_step(params: Any, opt_state: Any, consts: Any,
+    State threading: ``occ_grid`` (the occupancy density-EMA) rides
+    along and refreshes every cfg.model.occ_update_every steps under a
+    lax.cond; pass occ_grid=None semantics via sampler_mode='dense'.
+    """
+    from f2nerf_tpu.models import occupancy
+
+    loss_fn = make_loss_fn(cfg, encode_fn=encode_fn)
+    use_occ = cfg.model.sampler_mode == "occ"
+
+    def train_step(params: Any, opt_state: Any, occ_grid: jnp.ndarray,
+                   consts: Any,
                    poses: jnp.ndarray, intrinsics: jnp.ndarray,
                    step: jnp.ndarray, cam_idx: jnp.ndarray,
                    ij: jnp.ndarray, gt: jnp.ndarray):
         key = jax.random.fold_in(
             jax.random.key(cfg.train.seed), step.astype(jnp.uint32))
+        if use_occ:
+            k_occ, key = jax.random.split(key)
+
+            def refresh(grid):
+                return occupancy.update_grid(
+                    grid,
+                    lambda pts: renderer.density_at(
+                        params, consts, pts, cfg.model, contracted=True),
+                    k_occ, cfg.model)
+
+            occ_grid = jax.lax.cond(
+                step % cfg.model.occ_update_every == 0,
+                refresh, lambda g: g, occ_grid)
+            occ_bits = occupancy.occupancy_bits(occ_grid, cfg.model)
+        else:
+            occ_bits = None
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, consts, poses, intrinsics, cam_idx, ij, gt, key, step)
+            params, consts, poses, intrinsics, cam_idx, ij, gt, key,
+            step, occ_bits)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        return params, opt_state, occ_grid, metrics
 
     return train_step
