@@ -1,0 +1,65 @@
+"""Dataset IO tests: cams_meta.tsv format roundtrip, normalization,
+batch sampling, inference params sidecar."""
+
+import numpy as np
+
+from f2nerf_tpu.data.dataset import load_dataset, save_dataset
+from f2nerf_tpu.data.synthetic import make_sphere_dataset
+
+
+def test_roundtrip(tmp_path, sphere_ds):
+    save_dataset(sphere_ds, tmp_path)
+    assert (tmp_path / "cams_meta.tsv").exists()
+    ds = load_dataset(tmp_path)
+    assert ds.n_images == sphere_ds.n_images
+    assert ds.height == sphere_ds.height
+    np.testing.assert_allclose(ds.poses, sphere_ds.poses, atol=1e-5)
+    np.testing.assert_allclose(ds.intrinsics, sphere_ds.intrinsics,
+                               rtol=1e-6)
+    # images go through 8-bit PNG
+    assert np.abs(ds.images - sphere_ds.images).max() < 1.0 / 255 + 1e-6
+    np.testing.assert_allclose(ds.center, sphere_ds.center, atol=1e-4)
+    np.testing.assert_allclose(ds.radius, sphere_ds.radius, rtol=1e-5)
+
+
+def test_normalized_poses(sphere_ds):
+    r = np.linalg.norm(sphere_ds.poses[:, :3, 3], axis=-1)
+    assert abs(r.max() - 1.0) < 1e-5
+
+
+def test_sample_batch(sphere_ds, rng):
+    cam, ij, gt = sphere_ds.sample_batch(rng, 64)
+    assert cam.shape == (64,) and ij.shape == (64, 2) and gt.shape == (64, 3)
+    assert cam.min() >= 0 and cam.max() < sphere_ds.n_images
+    # gt colors actually come from the images
+    for k in range(8):
+        np.testing.assert_allclose(
+            gt[k], sphere_ds.images[cam[k], ij[k, 0], ij[k, 1]])
+
+
+def test_inference_params(tmp_path, sphere_ds):
+    sphere_ds.save_inference_params(tmp_path)
+    text = (tmp_path / "inference_params.yaml").read_text()
+    assert f"n_images: {sphere_ds.n_images}" in text
+    assert "normalizing_radius" in text
+
+
+def test_metrics():
+    from f2nerf_tpu.utils.metrics import image_score, psnr, ssim
+    a = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+    assert psnr(a, a) == float("inf")
+    assert ssim(a, a) > 0.99
+    b = np.clip(a + 0.1, 0, 1)
+    assert 15 < psnr(a, b) < 30
+    assert image_score(a, b) > 0
+
+
+def test_image_io_roundtrip(tmp_path, rng):
+    from f2nerf_tpu.utils.image_io import read_image, resize_image, write_image
+    img = rng.random((20, 24, 3)).astype(np.float32)
+    write_image(tmp_path / "x.png", img)
+    back = read_image(tmp_path / "x.png")
+    assert back.shape == (20, 24, 3)
+    assert np.abs(back - img).max() < 1.0 / 255 + 1e-6
+    small = resize_image(img, 10, 12)
+    assert small.shape == (10, 12, 3)

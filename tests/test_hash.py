@@ -1,0 +1,195 @@
+"""Hash-grid encode tests: XOR (reference semantics) and paged (TPU
+fast path) against numpy oracles; gradient and determinism checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f2nerf_tpu.ops import hash_paged as hp
+from f2nerf_tpu.ops.hash_encode import (hash_encode, init_primes,
+                                        level_scales)
+
+
+def _xor_oracle(points, feat, primes, biases, scales):
+    """Reference Hash3DAnchoredForwardKernel (hash_3d_anchored.cu:61-93):
+    per-corner XOR-prime hash + trilinear, float2uint saturation."""
+    n = points.shape[0]
+    n_lvl, tsize, c = feat.shape
+    out = np.zeros((n, n_lvl, c), np.float32)
+    for k in range(n):
+        for lvl in range(n_lvl):
+            pt = points[k] * scales[lvl] + biases[lvl]
+            f = np.floor(pt)
+            fr = pt - f
+            ip = np.maximum(f, 0.0).astype(np.uint32)  # CUDA saturation
+            acc = np.zeros(c, np.float32)
+            for dx in range(2):
+                for dy in range(2):
+                    for dz in range(2):
+                        cx = ip[0] + np.uint32(dx)
+                        cy = ip[1] + np.uint32(dy)
+                        cz = ip[2] + np.uint32(dz)
+                        h = int((cx * primes[lvl, 0])
+                                ^ (cy * primes[lvl, 1])
+                                ^ (cz * primes[lvl, 2])) % tsize
+                        w = ((fr[0] if dx else 1 - fr[0])
+                             * (fr[1] if dy else 1 - fr[1])
+                             * (fr[2] if dz else 1 - fr[2]))
+                        acc += w * feat[lvl, h]
+            out[k, lvl] = acc
+    return out.reshape(n, n_lvl * c)
+
+
+class TestXorHash:
+    def _setup(self, rng, n_levels=2, tsize=256):
+        scales = level_scales(n_levels, 1.0, 3.0)
+        primes = init_primes(np.random.default_rng(0), n_levels)
+        biases = rng.uniform(100, 1100, (n_levels, 3)).astype(np.float32)
+        feat = rng.normal(size=(n_levels, tsize, 2)).astype(np.float32)
+        pts = (rng.uniform(-1, 1, (32, 3)) * 1.9).astype(np.float32)
+        return pts, feat, primes, biases, scales
+
+    def test_matches_oracle(self, rng):
+        pts, feat, primes, biases, scales = self._setup(rng)
+        out = hash_encode(jnp.asarray(pts), jnp.asarray(feat),
+                          jnp.asarray(primes), jnp.asarray(biases),
+                          jnp.asarray(scales))
+        expect = _xor_oracle(pts, feat, primes, biases, scales)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_gradients(self, rng):
+        pts, feat, primes, biases, scales = self._setup(rng)
+        pts_j = jnp.asarray(pts[:8])
+        feat_j = jnp.asarray(feat)
+
+        def f(feat_, pts_):
+            return jnp.sum(jnp.sin(hash_encode(
+                pts_, feat_, jnp.asarray(primes), jnp.asarray(biases),
+                jnp.asarray(scales))))
+
+        jax.test_util.check_grads(f, (feat_j, pts_j), order=1,
+                                  modes=["rev"], atol=2e-2, rtol=2e-2)
+
+    def test_grad_deterministic(self, rng):
+        pts, feat, primes, biases, scales = self._setup(rng)
+        g = jax.jit(jax.grad(lambda f_: jnp.sum(hash_encode(
+            jnp.asarray(pts), f_, jnp.asarray(primes),
+            jnp.asarray(biases), jnp.asarray(scales)))))
+        a = np.asarray(g(jnp.asarray(feat)))
+        b = np.asarray(g(jnp.asarray(feat)))
+        assert np.array_equal(a, b)
+
+
+def _paged_oracle(points, pages, meta):
+    """Direct per-corner lookup with the additive page hash."""
+    n = points.shape[0]
+    ll = meta.n_levels
+    c = meta.n_channels
+    out = np.zeros((n, ll, c), np.float32)
+    for k in range(n):
+        for lvl in range(ll):
+            pt = points[k] * meta.scales[lvl] + meta.biases[lvl]
+            f = np.floor(pt).astype(np.int64)
+            fr = pt - f
+            acc = np.zeros(c, np.float32)
+            for dx in range(2):
+                for dy in range(2):
+                    for dz in range(2):
+                        cell = f + np.array([dx, dy, dz])
+                        blk = cell >> 2
+                        loc = cell & 3
+                        p = int((np.uint32(blk[0]) * meta.a[lvl]
+                                 + np.uint32(blk[1]) * meta.b[lvl]
+                                 + np.uint32(blk[2]))
+                                % np.uint32(meta.n_pages[lvl]))
+                        w = ((fr[0] if dx else 1 - fr[0])
+                             * (fr[1] if dy else 1 - fr[1])
+                             * (fr[2] if dz else 1 - fr[2]))
+                        acc += w * pages[meta.page_offset[lvl] + p, :,
+                                         loc[0], loc[1], loc[2]]
+            out[k, lvl] = acc
+    return out.reshape(n, ll * c)
+
+
+class TestPagedHash:
+    def _setup(self, rng, n_levels=2, tsize=4096, c=2):
+        scales = level_scales(n_levels, 1.0, 3.0)
+        meta = hp.make_paged_meta(n_levels, tsize, c, scales, np_seed=0)
+        pages = rng.normal(
+            size=(meta.total_pages, c, 4, 4, 4)).astype(np.float32)
+        pts = (rng.uniform(-1, 1, (48, 3)) * 1.95).astype(np.float32)
+        return pts, pages, meta
+
+    def test_matches_oracle(self, rng):
+        pts, pages, meta = self._setup(rng)
+        out = hp.paged_encode(jnp.asarray(pts), jnp.asarray(pages), meta,
+                              compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out),
+                                   _paged_oracle(pts, pages, meta),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_four_channels(self, rng):
+        pts, pages, meta = self._setup(rng, n_levels=2, c=4)
+        out = hp.paged_encode(jnp.asarray(pts), jnp.asarray(pages), meta,
+                              compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out),
+                                   _paged_oracle(pts, pages, meta),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_field_continuity_across_block_boundary(self, rng):
+        """The halo must make the field continuous where trilinear
+        corners straddle pages."""
+        pts, pages, meta = self._setup(rng)
+        # walk across a block boundary at the finest level
+        eps = 1e-4
+        base = np.array([[0.3, 0.11, -0.42]], dtype=np.float32)
+        f = jnp.asarray
+        for ax in range(3):
+            lo = base.copy()
+            hi = base.copy()
+            lo[0, ax] -= eps
+            hi[0, ax] += eps
+            a = hp.paged_encode(f(lo), f(pages), meta,
+                                compute_dtype=jnp.float32)
+            b = hp.paged_encode(f(hi), f(pages), meta,
+                                compute_dtype=jnp.float32)
+            assert float(jnp.abs(a - b).max()) < 5e-2
+
+    def test_gradients(self, rng):
+        pts, pages, meta = self._setup(rng)
+        pts_j = jnp.asarray(pts[:8])
+        pages_j = jnp.asarray(pages)
+
+        def f(pages_, pts_):
+            return jnp.sum(jnp.sin(hp.paged_encode(
+                pts_, pages_, meta, compute_dtype=jnp.float32)))
+
+        jax.test_util.check_grads(f, (pages_j, pts_j), order=1,
+                                  modes=["rev"], atol=2e-2, rtol=2e-2)
+
+    def test_grad_deterministic(self, rng):
+        pts, pages, meta = self._setup(rng)
+        g = jax.jit(jax.grad(lambda p_: jnp.sum(hp.paged_encode(
+            jnp.asarray(pts), p_, meta, compute_dtype=jnp.float32))))
+        a = np.asarray(g(jnp.asarray(pages)))
+        b = np.asarray(g(jnp.asarray(pages)))
+        assert np.array_equal(a, b)
+
+    def test_chunked_matches_single(self, rng):
+        pts, pages, meta = self._setup(rng)
+        a = hp.paged_encode(jnp.asarray(pts), jnp.asarray(pages), meta,
+                            compute_dtype=jnp.float32, chunk=65536)
+        b = hp.paged_encode(jnp.asarray(pts), jnp.asarray(pages), meta,
+                            compute_dtype=jnp.float32, chunk=16)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+    def test_capacity_matches_reference_scale(self):
+        """Default config total params ~ reference 2^19*16*2 pool."""
+        from f2nerf_tpu.core.config import ModelConfig
+        from f2nerf_tpu.models.hash_field import paged_meta
+        cfg = ModelConfig()
+        meta = paged_meta(cfg)
+        total = meta.total_pages * 64 * cfg.n_channels
+        assert total >= 10_000_000  # same order as 16.8M reference

@@ -1,0 +1,129 @@
+"""Localizer tests: particle evaluation, differentiable pose recovery,
+quaternion-average pose fusion, checkpoint loading (reference
+src/localizer.cpp)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from f2nerf_tpu.localize.localizer import (Localizer, LocalizerParam,
+                                           Particle, calc_average_pose,
+                                           matrix_to_quat, quat_to_matrix)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train a tiny model on the sphere scene and build a Localizer."""
+    import jax
+
+    from f2nerf_tpu.core.config import Config, ModelConfig, TrainConfig
+    from f2nerf_tpu.data.synthetic import make_sphere_dataset
+    from f2nerf_tpu.train.loop import Trainer
+
+    cfg = Config(
+        model=ModelConfig(n_levels=3, n_channels=2, log2_table_size=13,
+                          n_samples=32, sample_l=1.0 / 8.0,
+                          bf16_features=False, sampler_mode="dense"),
+        train=TrainConfig(pts_batch_size=65536, end_iter=250,
+                          report_freq=125, vis_freq=10 ** 9,
+                          save_freq=10 ** 9,
+                          learning_rate_warm_up_end_iter=25,
+                          var_loss_start=60, var_loss_end=120))
+    ds = make_sphere_dataset(n_images=6, h=32, w=32)
+    rd = tmp_path_factory.mktemp("run")
+    tr = Trainer(cfg, ds, result_dir=rd)
+    tr.run()
+    tr.save_checkpoint()
+    core = Localizer.from_checkpoint(rd, LocalizerParam(resize_factor=1))
+    core._rng = np.random.default_rng(3)
+    return core, ds
+
+
+class TestQuat:
+    def test_roundtrip(self, rng):
+        for _ in range(10):
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            th = rng.uniform(-3, 3)
+            k = np.array([[0, -axis[2], axis[1]],
+                          [axis[2], 0, -axis[0]],
+                          [-axis[1], axis[0], 0]])
+            r = np.eye(3) + np.sin(th) * k + (1 - np.cos(th)) * (k @ k)
+            q = matrix_to_quat(r)
+            np.testing.assert_allclose(quat_to_matrix(q), r, atol=1e-8)
+
+    def test_average_identity(self):
+        pose = np.eye(3, 4)
+        parts = [Particle(pose=pose, weight=0.5)] * 2
+        avg = calc_average_pose(parts)
+        np.testing.assert_allclose(avg, pose, atol=1e-7)
+
+    def test_average_weighted_position(self):
+        a = np.eye(3, 4).astype(np.float32)
+        b = a.copy()
+        b[:3, 3] = [1.0, 0.0, 0.0]
+        avg = calc_average_pose([Particle(a, 0.25), Particle(b, 0.75)])
+        np.testing.assert_allclose(avg[:3, 3], [0.75, 0, 0], atol=1e-6)
+
+    def test_average_sign_aligned(self):
+        pose = np.eye(3, 4)
+        parts = [Particle(pose, 0.5), Particle(pose, 0.5)]
+        # flipping a quaternion's sign must not change the average
+        avg = calc_average_pose(parts)
+        np.testing.assert_allclose(avg[:3, :3], np.eye(3), atol=1e-7)
+
+
+class TestLocalizer:
+    def test_checkpoint_roundtrip_renders(self, trained):
+        core, ds = trained
+        img = np.asarray(core.render_image(ds.poses[0]))
+        assert img.shape == (ds.height, ds.width, 3)
+        from f2nerf_tpu.utils.metrics import psnr
+        assert psnr(img, ds.images[0]) > 14
+
+    def test_evaluate_poses_prefers_truth(self, trained):
+        core, ds = trained
+        true_pose = ds.poses[0]
+        off = true_pose.copy()
+        off[:3, 3] += np.array([0.4, 0.0, 0.3], dtype=np.float32)
+        w = core.evaluate_poses(np.stack([true_pose, off]), ds.images[0])
+        assert w[0] > w[1]
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-4)
+
+    def test_random_search_improves(self, trained):
+        core, ds = trained
+        true_pose = ds.poses[1]
+        noisy = true_pose.copy()
+        noisy[:3, 3] += np.array([0.08, 0.0, -0.06], dtype=np.float32)
+        parts = core.optimize_pose_by_random_search(
+            noisy, ds.images[1], particle_num=64, noise_coeff=4.0)
+        assert len(parts) == 64
+        best = calc_average_pose(parts)
+        err_before = np.linalg.norm(noisy[:3, 3] - true_pose[:3, 3])
+        err_after = np.linalg.norm(best[:3, 3] - true_pose[:3, 3])
+        assert err_after < err_before
+
+    def test_differential_improves(self, trained):
+        core, ds = trained
+        true_pose = ds.poses[2]
+        noisy = true_pose.copy()
+        noisy[:3, 3] += np.array([0.04, 0.0, -0.03], dtype=np.float32)
+        results = core.optimize_pose_by_differential(
+            noisy, ds.images[2], iteration_num=15, lr=5e-3)
+        assert len(results) == 15
+        err_before = np.linalg.norm(noisy[:3, 3] - true_pose[:3, 3])
+        err_after = np.linalg.norm(results[-1][:3, 3] - true_pose[:3, 3])
+        assert err_after < err_before
+        # rotation rows are reverted to the original (reference
+        # localizer.cpp:162-164)
+        np.testing.assert_allclose(results[-1][:3, :3], noisy[:3, :3],
+                                   atol=1e-7)
+
+    def test_frame_conversion_roundtrip(self, trained):
+        core, _ = trained
+        pose_w = np.eye(4, dtype=np.float32)
+        pose_w[:3, 3] = [0.3, -0.2, 0.5]
+        cam = core.world2camera(pose_w)
+        back = core.camera2world(cam)
+        np.testing.assert_allclose(back, pose_w, atol=1e-5)

@@ -1,0 +1,106 @@
+"""Renderer integration tests (reference src/renderer.cpp semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f2nerf_tpu.models import occupancy, renderer
+
+
+def _rand_rays(rng, n):
+    o = rng.normal(0, 0.3, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestRender:
+    def test_shapes_and_ranges(self, tiny_cfg, rng):
+        cfg = tiny_cfg.model
+        params, consts = renderer.init(jax.random.key(0), cfg, 4)
+        o, d = _rand_rays(rng, 8)
+        res = renderer.render(params, consts, o, d,
+                              jnp.zeros(8, jnp.int32), cfg,
+                              jax.random.key(1), train=True)
+        assert res.colors.shape == (8, 3)
+        assert res.depths.shape == (8,)
+        assert res.weights.shape == (8, cfg.n_samples)
+        assert bool(jnp.isfinite(res.colors).all())
+        # weights are zero outside the keep mask
+        w_out = jnp.where(res.mask, 0.0, res.weights)
+        np.testing.assert_allclose(np.asarray(w_out), 0.0, atol=1e-7)
+
+    def test_validate_deterministic(self, tiny_cfg, rng):
+        cfg = tiny_cfg.model
+        params, consts = renderer.init(jax.random.key(0), cfg, 4)
+        o, d = _rand_rays(rng, 8)
+        r1 = renderer.render(params, consts, o, d, None, cfg, None,
+                             train=False)
+        r2 = renderer.render(params, consts, o, d, None, cfg, None,
+                             train=False)
+        np.testing.assert_array_equal(np.asarray(r1.colors),
+                                      np.asarray(r2.colors))
+
+    def test_occ_mode(self, occ_cfg, rng):
+        cfg = occ_cfg.model
+        params, consts = renderer.init(jax.random.key(0), cfg, 4)
+        bits = occupancy.occupancy_bits(occupancy.init_grid(cfg), cfg)
+        o, d = _rand_rays(rng, 8)
+        res = renderer.render(params, consts, o, d,
+                              jnp.zeros(8, jnp.int32), cfg,
+                              jax.random.key(1), train=True,
+                              occ_bits=bits)
+        s = cfg.occ_keep * cfg.occ_samples_per_segment
+        assert res.weights.shape == (8, s)
+        assert bool(jnp.isfinite(res.colors).all())
+
+    def test_render_image_chunking(self, tiny_cfg):
+        cfg = tiny_cfg.model
+        params, consts = renderer.init(jax.random.key(0), cfg, 4)
+        pose = jnp.eye(3, 4)
+        intr = jnp.asarray([[20.0, 0, 8.0], [0, 20.0, 6.0], [0, 0, 1.0]])
+        rgb, depth = renderer.render_image(params, consts, pose, intr,
+                                           12, 16, cfg, chunk=64)
+        assert rgb.shape == (12, 16, 3)
+        assert depth.shape == (12, 16)
+        assert float(rgb.min()) >= 0.0 and float(rgb.max()) <= 1.0
+        # chunk size must not change the result
+        rgb2, _ = renderer.render_image(params, consts, pose, intr,
+                                        12, 16, cfg, chunk=192)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb2),
+                                   atol=1e-6)
+
+    def test_app_embedding_only_in_train(self, tiny_cfg, rng):
+        cfg = tiny_cfg.model
+        params, consts = renderer.init(jax.random.key(0), cfg, 4)
+        # make app_emb large so its effect is visible
+        params = dict(params)
+        params["app_emb"] = jnp.ones_like(params["app_emb"]) * 3.0
+        o, d = _rand_rays(rng, 4)
+        emb0 = jnp.zeros(4, jnp.int32)
+        r_train = renderer.render(params, consts, o, d, emb0, cfg,
+                                  jax.random.key(1), train=True)
+        r_val = renderer.render(params, consts, o, d, emb0, cfg, None,
+                                train=False)
+        # train uses app_emb (and jitter); results must differ
+        assert not np.allclose(np.asarray(r_train.colors),
+                               np.asarray(r_val.colors), atol=1e-4)
+
+    def test_pose_gradient_flows(self, tiny_cfg):
+        """Differentiable pose path (the localizer's core requirement;
+        broken in the reference via the SH kernel, SURVEY.md §3.4)."""
+        cfg = tiny_cfg.model
+        params, consts = renderer.init(jax.random.key(0), cfg, 4)
+        from f2nerf_tpu.core.cameras import rays_from_pose
+        intr = jnp.asarray([[20.0, 0, 8.0], [0, 20.0, 6.0], [0, 0, 1.0]])
+        ij = jnp.asarray(np.array([[4.0, 5.0], [8.0, 3.0]]))
+
+        def f(pose):
+            o, d = rays_from_pose(pose[None], intr[None], ij)
+            res = renderer.render(params, consts, o, d, None, cfg, None,
+                                  train=False)
+            return jnp.sum(res.colors)
+
+        g = jax.grad(f)(jnp.eye(3, 4))
+        assert g.shape == (3, 4)
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).max()) > 0.0

@@ -1,0 +1,121 @@
+"""Sampler tests: dense stratified marcher (reference
+src/points_sampler.cpp) and occupancy-guided sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f2nerf_tpu.core.config import ModelConfig
+from f2nerf_tpu.models import occupancy
+from f2nerf_tpu.models.sampler import sample_rays
+
+
+class TestDenseSampler:
+    def _cfg(self):
+        return ModelConfig(n_samples=16, sample_l=1.0 / 8.0)
+
+    def test_validate_uniform(self):
+        cfg = self._cfg()
+        o = jnp.zeros((2, 3))
+        d = jnp.asarray([[0.0, 0.0, -2.0], [1.0, 0.0, 0.0]])
+        s = sample_rays(o, d, cfg, key=None)
+        # VALIDATE: noise = 1 -> t = (i+1) * SAMPLE_L
+        expect_t = (np.arange(16) + 1) / 8.0
+        np.testing.assert_allclose(s.t[0], expect_t, rtol=1e-6)
+        # dirs normalized
+        np.testing.assert_allclose(np.linalg.norm(s.dirs, axis=-1), 1.0,
+                                   rtol=1e-6)
+        # dt_0 = 0 (reference points_sampler.cpp:46-48)
+        np.testing.assert_allclose(s.dt[:, 0], 0.0, atol=1e-7)
+        np.testing.assert_allclose(s.dt[:, 1:], 1.0 / 8.0, rtol=1e-6)
+        # points on the ray
+        np.testing.assert_allclose(
+            s.pts[0, 3], np.array([0, 0, -1.0]) * expect_t[3], atol=1e-6)
+
+    def test_train_jitter_range(self):
+        cfg = self._cfg()
+        o = jnp.zeros((4, 3))
+        d = jnp.asarray([[0.0, 0.0, -1.0]] * 4)
+        s = sample_rays(o, d, cfg, key=jax.random.key(0))
+        # each increment is in [0.5, 1.5) * SAMPLE_L
+        inc = jnp.diff(s.t, axis=-1)
+        assert float(inc.min()) >= 0.5 / 8.0 - 1e-6
+        assert float(inc.max()) <= 1.5 / 8.0 + 1e-6
+        # dt equals t increments
+        np.testing.assert_allclose(s.dt[:, 1:], inc, rtol=1e-5)
+
+
+class TestOccupancySampler:
+    def _cfg(self):
+        return ModelConfig(
+            n_samples=32, sample_l=1.0 / 8.0, sampler_mode="occ",
+            occ_grid_res=16, occ_segments=16, occ_keep=4,
+            occ_samples_per_segment=2)
+
+    def test_all_occupied_even_coverage(self):
+        cfg = self._cfg()
+        bits = jnp.ones(16 ** 3, bool)
+        o = jnp.zeros((2, 3))
+        d = jnp.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        s = occupancy.sample_rays_occ(o, d, bits, cfg, key=None)
+        assert s.t.shape == (2, 8)
+        assert bool(s.valid.all())
+        # ranks (j+0.5)*16/4 -> segments 2, 6, 10, 14
+        seg_len = 32 * (1 / 8.0) / 16
+        seg_of = np.floor(np.asarray(s.t[0]) / seg_len).astype(int)
+        np.testing.assert_array_equal(np.unique(seg_of), [2, 6, 10, 14])
+        # t increasing
+        assert bool((jnp.diff(s.t, axis=-1) > 0).all())
+
+    def test_respects_occupancy(self):
+        cfg = self._cfg()
+        # occupy only a thin slab around z in [-1.25, -0.75]
+        g = cfg.occ_grid_res
+        grid = np.zeros((g, g, g), bool)
+        zc = ((np.arange(g) + 0.5) * (4.0 / g)) - 2.0
+        slab = (zc > -1.25) & (zc < -0.75)
+        grid[:, :, slab] = True
+        bits = jnp.asarray(grid.reshape(-1))
+        o = jnp.zeros((1, 3))
+        d = jnp.asarray([[0.0, 0.0, -1.0]])   # marches toward -z
+        s = occupancy.sample_rays_occ(o, d, bits, cfg, key=None)
+        pts_z = np.asarray(s.pts[0, :, 2])[np.asarray(s.valid[0])]
+        assert pts_z.size > 0
+        assert (pts_z > -1.3).all() and (pts_z < -0.7).all()
+
+    def test_nothing_occupied_marks_invalid(self):
+        cfg = self._cfg()
+        bits = jnp.zeros(16 ** 3, bool)
+        o = jnp.zeros((1, 3))
+        d = jnp.asarray([[0.0, 0.0, -1.0]])
+        s = occupancy.sample_rays_occ(o, d, bits, cfg, key=None)
+        assert not bool(s.valid.any())
+        np.testing.assert_allclose(s.dt, 0.0)
+
+    def test_update_grid_and_threshold(self):
+        cfg = self._cfg()
+        grid = occupancy.init_grid(cfg)
+        assert bool(occupancy.occupancy_bits(grid, cfg).all())
+        # empty density -> decays below threshold eventually
+        for _ in range(30):
+            grid = occupancy.update_grid(
+                grid, lambda p: jnp.zeros(p.shape[0]),
+                jax.random.key(0), cfg)
+        assert not bool(occupancy.occupancy_bits(grid, cfg).any())
+
+    def test_update_keeps_dense_regions(self):
+        cfg = self._cfg()
+        grid = occupancy.init_grid(cfg)
+        thresh = occupancy.sigma_threshold(cfg)
+
+        def dens(p):  # dense near origin only
+            return jnp.where(jnp.linalg.norm(p, axis=-1) < 0.5,
+                             10.0 * thresh, 0.0)
+
+        for i in range(30):
+            grid = occupancy.update_grid(grid, dens,
+                                         jax.random.key(i), cfg)
+        bits = np.asarray(occupancy.occupancy_bits(grid, cfg)).reshape(
+            16, 16, 16)
+        assert bits[8, 8, 8]          # center occupied
+        assert not bits[0, 0, 0]      # far corner pruned

@@ -1,0 +1,102 @@
+"""Training loop, optimizer schedule, checkpoint/resume tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from f2nerf_tpu.train.optim import lr_schedule, make_optimizer
+from f2nerf_tpu.train.step import var_loss_weight
+
+
+class TestSchedules:
+    def test_lr_warmup_cosine(self, tiny_cfg):
+        t = dataclasses.replace(tiny_cfg.train, end_iter=100,
+                                learning_rate_warm_up_end_iter=10,
+                                learning_rate=1e-2,
+                                learning_rate_alpha=0.1)
+        sched = lr_schedule(t)
+        # reference train_manager.cpp:160-176
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(5)), 1e-2 * 0.5, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(10)), 1e-2, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(100)), 1e-3, rtol=1e-4)
+        mid = float(sched(55))
+        np.testing.assert_allclose(mid, 1e-2 * (0.9 * 0.5 + 0.1),
+                                   rtol=1e-4)
+
+    def test_var_loss_ramp(self, tiny_cfg):
+        cfg = tiny_cfg  # var_loss_start=10, end=20, weight default 1e-2
+        assert float(var_loss_weight(jnp.asarray(5), cfg)) == 0.0
+        assert float(var_loss_weight(jnp.asarray(10), cfg)) == 0.0
+        np.testing.assert_allclose(
+            float(var_loss_weight(jnp.asarray(15), cfg)),
+            0.5 * cfg.train.var_loss_weight, rtol=1e-5)
+        np.testing.assert_allclose(
+            float(var_loss_weight(jnp.asarray(25), cfg)),
+            cfg.train.var_loss_weight, rtol=1e-6)
+
+    def test_weight_decay_mask(self, tiny_cfg):
+        """feat_pool must get no weight decay (reference
+        hash_3d_anchored.cpp:93-101); everything else does."""
+        from f2nerf_tpu.models import renderer
+        params, _ = renderer.init(jax.random.key(0), tiny_cfg.model, 2)
+        opt = make_optimizer(tiny_cfg.train)
+        state = opt.init(params)
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        # run enough steps to leave warmup (lr=0 at step 0)
+        for _ in range(3):
+            updates, state = opt.update(zeros, state, params)
+        # with zero grads, updates come only from weight decay
+        assert float(jnp.abs(updates["field"]["feat_pool"]).max()) == 0.0
+        assert float(jnp.abs(updates["field"]["mlp"]["w"]).max()) > 0.0
+        assert float(jnp.abs(updates["shader"]["w0"]).max()) > 0.0
+
+
+class TestTrainer:
+    def test_loss_decreases_and_logs(self, tiny_cfg, sphere_ds, tmp_path):
+        from f2nerf_tpu.train.loop import Trainer
+        tr = Trainer(tiny_cfg, sphere_ds, result_dir=tmp_path)
+        m = tr.run()
+        assert m["step"] == tiny_cfg.train.end_iter
+        assert m["psnr"] > 8.0
+        log = (tmp_path / "train_log.txt").read_text()
+        assert "PSNR" in log and "Iter" in log
+        assert (tmp_path / "inference_params.yaml").exists()
+        assert (tmp_path / "train_config.yaml").exists()
+
+    def test_checkpoint_resume_exact(self, tiny_cfg, sphere_ds, tmp_path):
+        from f2nerf_tpu.train.loop import Trainer
+        tr = Trainer(tiny_cfg, sphere_ds, result_dir=tmp_path)
+        tr.run(10)
+        tr.save_checkpoint()
+        tr2 = Trainer(tiny_cfg, sphere_ds, result_dir=tmp_path)
+        assert tr2.try_resume()
+        assert tr2.step == 10
+        for a, b in zip(jax.tree.leaves(jax.device_get(tr.params)),
+                        jax.tree.leaves(tr2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(jax.device_get(tr.opt_state)),
+                        jax.tree.leaves(tr2.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        tr2.run(5)  # resumes cleanly
+        assert tr2.step == 15
+
+    def test_occ_mode_trains(self, occ_cfg, sphere_ds):
+        from f2nerf_tpu.train.loop import Trainer
+        tr = Trainer(occ_cfg, sphere_ds, result_dir=None)
+        m = tr.run(20)
+        assert np.isfinite(m["loss"])
+
+    def test_nan_raises(self, tiny_cfg, sphere_ds):
+        """Reference CHECKs NaN each iter (train_manager.cpp:98-100)."""
+        from f2nerf_tpu.train.loop import Trainer
+        bad = dataclasses.replace(
+            tiny_cfg,
+            train=dataclasses.replace(tiny_cfg.train,
+                                      learning_rate=1e12))
+        tr = Trainer(bad, sphere_ds, result_dir=None)
+        with pytest.raises(FloatingPointError):
+            tr.run(40)
