@@ -68,6 +68,9 @@ class ModelConfig:
     # a cell is occupied while its density-EMA's per-segment alpha
     # contribution 1-exp(-sigma*seg_len) exceeds this
     occ_thresh: float = 0.01
+    # sample uniformly (grid forced occupied) for this many steps so the
+    # field differentiates before pruning starts
+    occ_warmup_steps: int = 512
 
     # Renderer
     trans_eps: float = 1e-4         # early-stop transmittance, src/renderer.cpp:65

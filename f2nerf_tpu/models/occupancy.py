@@ -72,7 +72,14 @@ def sigma_threshold(cfg: ModelConfig) -> float:
 
 
 def occupancy_bits(grid: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
-    return (grid >= sigma_threshold(cfg)).reshape(-1)
+    """Occupied where the density EMA beats min(alpha-threshold,
+    grid mean) — the mean clamp (instant-ngp style) keeps everything
+    occupied while the field is still near its uniform init (density
+    ~exp(-shift) << threshold), avoiding a prune-before-training death
+    spiral."""
+    thresh = jnp.minimum(sigma_threshold(cfg), jnp.mean(grid))
+    # 0.999: a uniform grid must compare >= its own (rounded) mean
+    return (grid >= thresh * 0.999).reshape(-1)
 
 
 def update_grid(grid: jnp.ndarray, density_fn, key: jax.Array,

@@ -72,6 +72,17 @@ class Trainer:
             make_train_step(cfg, self.optimizer, encode_fn=encode_fn),
             donate_argnums=(0, 1, 2))
         self._rng = np.random.default_rng(cfg.train.seed)
+        # native prefetching batch loader (C++ worker threads) when built
+        self._native = None
+        try:
+            from f2nerf_tpu.data.native_loader import (NativeBatchLoader,
+                                                       available)
+            if available():
+                self._native = NativeBatchLoader(
+                    dataset.images, cfg.train.rays_per_step,
+                    seed=cfg.train.seed)
+        except Exception:
+            self._native = None
         self._lr = lr_schedule(cfg.train)
         self.psnr_smooth = -1.0
 
@@ -120,7 +131,11 @@ class Trainer:
         last_metrics = None
 
         while self.step < end:
-            cam_idx, ij, gt = self.dataset.sample_batch(self._rng, batch)
+            if self._native is not None:
+                cam_idx, ij, gt = self._native.next()
+            else:
+                cam_idx, ij, gt = self.dataset.sample_batch(
+                    self._rng, batch)
             if self.mesh is not None:
                 cam_idx, ij, gt = mesh_lib.shard_batch(
                     self.mesh, cam_idx, ij, gt)

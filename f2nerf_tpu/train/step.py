@@ -111,6 +111,9 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
                 step % cfg.model.occ_update_every == 0,
                 refresh, lambda g: g, occ_grid)
             occ_bits = occupancy.occupancy_bits(occ_grid, cfg.model)
+            # uniform sampling during warmup (see occ_warmup_steps)
+            occ_bits = jnp.logical_or(
+                occ_bits, step < cfg.model.occ_warmup_steps)
         else:
             occ_bits = None
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
