@@ -41,24 +41,31 @@ OUT_W = 8    # lane-padded small outputs
 
 def _slot_iotas():
     s = jax.lax.broadcasted_iota(jnp.int32, (1, ROW_PAD), 1)
-    return s // 25, (s // 5) % 5, s % 5
+    return ((s // 25).astype(jnp.float32),
+            ((s // 5) % 5).astype(jnp.float32),
+            (s % 5).astype(jnp.float32))
 
 
 def _axis_factors(loc, fr, s_ax):
-    """loc/fr: [T, 1]; s_ax: [1, 128] -> (w [T,128], dw [T,128])."""
-    at0 = (s_ax == loc).astype(jnp.float32)
-    at1 = (s_ax == loc + 1).astype(jnp.float32)
-    w = at0 * (1.0 - fr) + at1 * fr
-    dw = at1 - at0
+    """loc/fr: [T, 1]; s_ax: [1, 128] -> (w [T,128], dw [T,128]).
+
+    Trilinear axis weight as a hat function: slot s gets
+    w = relu(1 - |s - (l + f)|), which is (1-f) at s==l and f at s==l+1
+    and 0 elsewhere — identical values to the one-hot-pair form but
+    ~2x fewer VPU ops. dw/df = sign(s - l - f) inside the hat support.
+    """
+    t = s_ax - (loc + fr)
+    at = jnp.abs(t)
+    w = jnp.maximum(0.0, 1.0 - at)
+    dw = jnp.where(at < 1.0, jnp.sign(t), 0.0)
     return w, dw
 
 
 def _weights(combo_ref):
     sx, sy, sz = _slot_iotas()
-    loc = combo_ref[:, 0:3].astype(jnp.int32)
-    wx, dwx = _axis_factors(loc[:, 0:1], combo_ref[:, 3:4], sx)
-    wy, dwy = _axis_factors(loc[:, 1:2], combo_ref[:, 4:5], sy)
-    wz, dwz = _axis_factors(loc[:, 2:3], combo_ref[:, 5:6], sz)
+    wx, dwx = _axis_factors(combo_ref[:, 0:1], combo_ref[:, 3:4], sx)
+    wy, dwy = _axis_factors(combo_ref[:, 1:2], combo_ref[:, 4:5], sy)
+    wz, dwz = _axis_factors(combo_ref[:, 2:3], combo_ref[:, 5:6], sz)
     return (wx, wy, wz), (dwx, dwy, dwz)
 
 
