@@ -83,15 +83,27 @@ def _fwd_kernel(rows_ref, combo_ref, out_ref, *, n_channels):
     out_ref[:] = jnp.concatenate(cols, axis=1)             # [T, 8]
 
 
-def _bwd_kernel(rows_ref, combo_ref, g_ref, drows_ref, dfrac_ref,
-                *, n_channels):
-    (wx, wy, wz), (dwx, dwy, dwz) = _weights(combo_ref)
+def _bwd_rows_kernel(combo_ref, g_ref, drows_ref, *, n_channels):
+    """d_rows = g (x) w — does NOT read the fetched rows, so in training
+    (where point gradients are unused because poses are data) XLA can
+    dead-code-eliminate the backward row re-gather entirely; keeping
+    this separate from the d_frac kernel is what makes that possible."""
+    (wx, wy, wz), _ = _weights(combo_ref)
     w = wx * wy * wz
-    d_w = jnp.zeros_like(w)
     for c in range(n_channels):
         gc = g_ref[:, c:c + 1]
         sl = slice(c * ROW_PAD, (c + 1) * ROW_PAD)
         drows_ref[:, sl] = (gc * w).astype(drows_ref.dtype)
+
+
+def _bwd_frac_kernel(rows_ref, combo_ref, g_ref, dfrac_ref,
+                     *, n_channels):
+    """d_frac (point-gradient path; alive only for pose optimization)."""
+    (wx, wy, wz), (dwx, dwy, dwz) = _weights(combo_ref)
+    d_w = jnp.zeros_like(wx)
+    for c in range(n_channels):
+        gc = g_ref[:, c:c + 1]
+        sl = slice(c * ROW_PAD, (c + 1) * ROW_PAD)
         d_w = d_w + gc * rows_ref[:, sl].astype(jnp.float32)
     dfrac_ref[:] = jnp.concatenate([
         jnp.sum(d_w * dwx * wy * wz, axis=1, keepdims=True),
@@ -141,19 +153,45 @@ def contract_fwd(rows: jnp.ndarray, local: jnp.ndarray, frac: jnp.ndarray,
     return out[:, :n_channels].reshape(n, n_levels * n_channels)
 
 
-def contract_bwd(rows: jnp.ndarray, local: jnp.ndarray, frac: jnp.ndarray,
-                 g: jnp.ndarray, n_levels: int, n_channels: int
-                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Backward: g [N, L*C] f32 -> (d_rows [N, L*C*128] same dtype as
-    rows, d_frac [N, L, 3] f32)."""
-    n = rows.shape[0]
+def contract_bwd_rows(local: jnp.ndarray, frac: jnp.ndarray,
+                      g: jnp.ndarray, n_levels: int, n_channels: int,
+                      out_dtype) -> jnp.ndarray:
+    """d_rows [N, L*C*128] = g (x) w. Row-free — see _bwd_rows_kernel."""
+    n = local.shape[0]
     m = n * n_levels
     cw = n_channels * ROW_PAD
     combo = _pack_combo(local, frac)
     g_pad = jnp.pad(g.reshape(m, n_channels),
                     ((0, 0), (0, OUT_W - n_channels)))
-    d_rows, d_frac = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_channels=n_channels),
+    d_rows = pl.pallas_call(
+        functools.partial(_bwd_rows_kernel, n_channels=n_channels),
+        grid=(m // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, OUT_W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, OUT_W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, cw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, cw), out_dtype),
+    )(combo, g_pad)
+    return d_rows.reshape(n, n_levels * cw)
+
+
+def contract_bwd_frac(rows: jnp.ndarray, local: jnp.ndarray,
+                      frac: jnp.ndarray, g: jnp.ndarray, n_levels: int,
+                      n_channels: int) -> jnp.ndarray:
+    """d_frac [N, L, 3] — the point-gradient path; alive only when pose
+    gradients are requested (localizer), DCE'd in training."""
+    n = local.shape[0]
+    m = n * n_levels
+    cw = n_channels * ROW_PAD
+    combo = _pack_combo(local, frac)
+    g_pad = jnp.pad(g.reshape(m, n_channels),
+                    ((0, 0), (0, OUT_W - n_channels)))
+    d_frac = pl.pallas_call(
+        functools.partial(_bwd_frac_kernel, n_channels=n_channels),
         grid=(m // TILE,),
         in_specs=[
             pl.BlockSpec((TILE, cw), lambda i: (i, 0),
@@ -163,16 +201,8 @@ def contract_bwd(rows: jnp.ndarray, local: jnp.ndarray, frac: jnp.ndarray,
             pl.BlockSpec((TILE, OUT_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((TILE, cw), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, OUT_W), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((m, cw), rows.dtype),
-            jax.ShapeDtypeStruct((m, OUT_W), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((TILE, OUT_W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, OUT_W), jnp.float32),
     )(rows.reshape(m, cw), combo, g_pad)
-    return (d_rows.reshape(n, n_levels * cw),
-            d_frac[:, :3].reshape(n, n_levels, 3))
+    return d_frac[:, :3].reshape(n, n_levels, 3)

@@ -267,16 +267,21 @@ def _encode_rows_bwd(n_channels, page_layout, use_pallas, res, g):
     local = local_frac[..., 0:3].astype(jnp.int32)
     frac = local_frac[..., 3:6]
     n, l = page_idx.shape
-    rows = jnp.take(haloed, page_idx, axis=0)             # re-fetch
 
     if use_pallas:
-        from f2nerf_tpu.kernels.trilinear import contract_bwd
-        d_rows_flat, d_frac = contract_bwd(
-            rows.reshape(n, -1), local, frac,
-            g.reshape(n, l * n_channels).astype(jnp.float32),
-            l, n_channels)
-        d_rows = d_rows_flat.reshape(n, l, n_channels * ROW_PAD)
+        from f2nerf_tpu.kernels.trilinear import (contract_bwd_frac,
+                                                  contract_bwd_rows)
+        g32 = g.reshape(n, l * n_channels).astype(jnp.float32)
+        d_rows = contract_bwd_rows(
+            local, frac, g32, l, n_channels, haloed.dtype).reshape(
+            n, l, n_channels * ROW_PAD)
+        # d_frac (and its row re-fetch) is DCE'd unless point gradients
+        # are actually consumed (pose optimization)
+        rows = jnp.take(haloed, page_idx, axis=0)
+        d_frac = contract_bwd_frac(rows.reshape(n, -1), local, frac,
+                                   g32, l, n_channels)
     else:
+        rows = jnp.take(haloed, page_idx, axis=0)         # re-fetch
         w_row = _weight_row(local, frac, dtype=jnp.float32)  # [N, L, 128]
         g32 = g.astype(jnp.float32)                          # [N, L, C]
         d_rows = (g32[..., None] * w_row[:, :, None, :]).reshape(
