@@ -50,8 +50,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Place host batch arrays onto the mesh, sharded along the batch dim."""
+    """Place host batch arrays onto the mesh, sharded along the batch
+    dim. Single-process: a plain device_put. Multi-host: each process
+    contributes its local slice (callers pass per-host batches of
+    global_batch / process_count rows) via
+    make_array_from_process_local_data, so batches never cross DCN.
+    """
     s = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return tuple(
+            jax.make_array_from_process_local_data(s, a) for a in arrays)
     return tuple(jax.device_put(a, s) for a in arrays)
 
 

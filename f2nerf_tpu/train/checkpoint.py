@@ -15,7 +15,12 @@ import orbax.checkpoint as ocp
 
 
 def save(ckpt_dir: str | pathlib.Path, step: int, params: Any,
-         opt_state: Any, consts: Any, extra: Any = None) -> None:
+         opt_state: Any, consts: Any, extra: Any = None,
+         keep_last: int = 2) -> None:
+    """Save a checkpoint, retaining the newest ``keep_last`` (the
+    reference keeps exactly one, deleting the previous dir first —
+    train_manager.cpp:132-136; keeping two guards against a crash
+    mid-save)."""
     path = pathlib.Path(ckpt_dir).resolve() / f"step_{step:08d}"
     state = {"params": params, "opt_state": opt_state,
              "consts": consts, "step": step}
@@ -23,6 +28,13 @@ def save(ckpt_dir: str | pathlib.Path, step: int, params: Any,
         state["extra"] = extra
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
+    if keep_last > 0:
+        import shutil
+        steps = sorted(
+            (int(p.name.split("_")[1]), p)
+            for p in path.parent.glob("step_*") if p.is_dir())
+        for _, old in steps[:-keep_last]:
+            shutil.rmtree(old, ignore_errors=True)
 
 
 def latest_step(ckpt_dir: str | pathlib.Path) -> int | None:

@@ -38,12 +38,18 @@ from f2nerf_tpu.utils.image_io import write_image
 class Trainer:
     def __init__(self, cfg: Config, dataset: Dataset,
                  result_dir: str | pathlib.Path | None = None,
-                 encode_fn=None, use_mesh: bool = True):
+                 encode_fn=None, use_mesh: bool = True,
+                 profile_dir: str | pathlib.Path | None = None,
+                 profile_steps: tuple[int, int] = (10, 15)):
         self.cfg = cfg
         self.dataset = dataset
         self.result_dir = (pathlib.Path(result_dir)
                            if result_dir is not None else None)
         self.encode_fn = encode_fn
+        # jax.profiler trace window (SURVEY §5.1: the TPU-native
+        # replacement for the reference's ScopeWatch CUDA-sync scopes)
+        self.profile_dir = (str(profile_dir) if profile_dir else None)
+        self.profile_steps = profile_steps
 
         key = jax.random.key(cfg.train.seed)
         self.params, self.consts = renderer.init(
@@ -131,6 +137,13 @@ class Trainer:
         last_metrics = None
 
         while self.step < end:
+            if self.profile_dir is not None:
+                if self.step == self.profile_steps[0]:
+                    jax.profiler.start_trace(self.profile_dir)
+                elif self.step == self.profile_steps[1]:
+                    from f2nerf_tpu.utils.timer import device_sync
+                    device_sync(self.params)
+                    jax.profiler.stop_trace()
             if self._native is not None:
                 cam_idx, ij, gt = self._native.next()
             else:

@@ -100,3 +100,36 @@ class TestTrainer:
         tr = Trainer(bad, sphere_ds, result_dir=None)
         with pytest.raises(FloatingPointError):
             tr.run(40)
+
+
+class TestExtras:
+    def test_checkpoint_retention(self, tiny_cfg, sphere_ds, tmp_path):
+        from f2nerf_tpu.train import checkpoint as ckpt_lib
+        from f2nerf_tpu.train.loop import Trainer
+        tr = Trainer(tiny_cfg, sphere_ds, result_dir=tmp_path)
+        for k in (5, 10, 15):
+            tr.run(5)
+            tr.save_checkpoint()
+        steps = sorted(int(p.name.split("_")[1]) for p in
+                       (tmp_path / "checkpoints").glob("step_*"))
+        assert steps == [10, 15]  # keep_last=2
+        assert ckpt_lib.latest_step(tmp_path / "checkpoints") == 15
+
+    def test_bf16_features_train(self, tiny_cfg, sphere_ds):
+        import dataclasses
+
+        from f2nerf_tpu.train.loop import Trainer
+        cfg = dataclasses.replace(
+            tiny_cfg,
+            model=dataclasses.replace(tiny_cfg.model, bf16_features=True))
+        tr = Trainer(cfg, sphere_ds, result_dir=None)
+        m = tr.run(20)
+        assert np.isfinite(m["loss"])
+
+    def test_profiler_hook(self, tiny_cfg, sphere_ds, tmp_path):
+        from f2nerf_tpu.train.loop import Trainer
+        tr = Trainer(tiny_cfg, sphere_ds, result_dir=None,
+                     profile_dir=tmp_path / "prof",
+                     profile_steps=(2, 4))
+        tr.run(6)
+        assert list((tmp_path / "prof").rglob("*"))  # trace files exist
