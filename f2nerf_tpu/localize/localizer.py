@@ -255,13 +255,38 @@ class Localizer:
         gt = jnp.asarray(np.asarray(image).reshape(h, w, 3))
         prev_rot = np.asarray(initial_pose)[:3, :3].copy()
 
+        step = self._diff_step(lr)
+        opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+        pose = jnp.asarray(initial_pose, dtype=jnp.float32)
+        opt_state = opt.init(pose)
+
+        results = []
+        for _ in range(iteration_num):
+            pose, opt_state = step(pose, opt_state, gt)
+            out = np.asarray(pose).copy()
+            out[:3, :3] = prev_rot
+            results.append(out)
+        return results
+
+    def _diff_step(self, lr: float):
+        """Jitted pose-optimization step, cached per (lr) — gt is an
+        argument so new images do not retrigger compilation."""
+        cache = getattr(self, "_diff_cache", None)
+        if cache is None:
+            cache = self._diff_cache = {}
+        key = (lr, self.infer_height, self.infer_width)
+        if key in cache:
+            return cache[key]
+
+        h, w = self.infer_height, self.infer_width
         from f2nerf_tpu.core.cameras import pixel_grid
         ij = jnp.asarray(pixel_grid(h, w))
         cfg_m = self.cfg.model
         occ_bits = self.occ_bits
         params, consts, intr = self.params, self.consts, self.intrinsic
+        opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
-        def loss_fn(pose):
+        def loss_fn(pose, gt):
             rays_o, rays_d = rays_from_pose(pose[None], intr[None], ij)
             res = renderer.render(params, consts, rays_o, rays_d, None,
                                   cfg_m, None, train=False,
@@ -269,18 +294,14 @@ class Localizer:
             pred = res.colors.reshape(h, w, 3)
             return jnp.mean((pred - gt) ** 2)
 
-        opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
-        pose = jnp.asarray(initial_pose, dtype=jnp.float32)
-        opt_state = opt.init(pose)
-        step = jax.jit(lambda po, st: _adam_step(po, st, loss_fn, opt))
+        @jax.jit
+        def step(pose, opt_state, gt):
+            grads = jax.grad(loss_fn)(pose, gt)
+            updates, opt_state = opt.update(grads, opt_state, pose)
+            return optax.apply_updates(pose, updates), opt_state
 
-        results = []
-        for _ in range(iteration_num):
-            pose, opt_state = step(pose, opt_state)
-            out = np.asarray(pose).copy()
-            out[:3, :3] = prev_rot
-            results.append(out)
-        return results
+        cache[key] = step
+        return step
 
     # -- frame conversion --------------------------------------------------
     def world2camera(self, pose_in_world: np.ndarray) -> np.ndarray:
@@ -290,9 +311,3 @@ class Localizer:
     def camera2world(self, pose_in_camera: np.ndarray) -> np.ndarray:
         return np.asarray(camera2world(jnp.asarray(pose_in_camera),
                                        self.center, self.radius))
-
-
-def _adam_step(pose, opt_state, loss_fn, opt):
-    grads = jax.grad(loss_fn)(pose)
-    updates, opt_state = opt.update(grads, opt_state, pose)
-    return optax.apply_updates(pose, updates), opt_state
