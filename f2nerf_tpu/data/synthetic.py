@@ -69,6 +69,111 @@ def _render_sphere(pose: np.ndarray, intrinsic: np.ndarray, h: int, w: int,
     return img
 
 
+def _render_scene(pose: np.ndarray, intrinsic: np.ndarray, h: int,
+                  w: int, bg: float = 0.55) -> np.ndarray:
+    """Harder multi-object scene: checkerboard ground plane + shaded
+    sphere + axis-aligned box, nearest-hit ray traced."""
+    ii, jj = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    i = ii + 0.5
+    j = jj + 0.5
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    u = (j - cx) / fx
+    v = -((i - cy) / fy)
+    d = np.stack([u, v, -np.ones_like(u)], axis=-1)
+    d = d @ pose[:3, :3].T
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+    light = np.array([0.4, 0.8, 0.45])
+    light /= np.linalg.norm(light)
+
+    t_best = np.full((h, w), np.inf)
+    color = np.full((h, w, 3), bg, dtype=np.float32)
+
+    # ground plane y = -0.8, checkerboard
+    denom = d[..., 1]
+    tp = np.where(np.abs(denom) > 1e-6, (-0.8 - o[1]) / denom, np.inf)
+    hitp = (tp > 0) & (tp < t_best)
+    px = o[0] + d[..., 0] * tp
+    pz = o[2] + d[..., 2] * tp
+    checker = ((np.floor(px * 2) + np.floor(pz * 2)) % 2).astype(bool)
+    pcol = np.where(checker[..., None], [0.85, 0.85, 0.8],
+                    [0.25, 0.3, 0.35]).astype(np.float32)
+    in_extent = (np.abs(px) < 2.5) & (np.abs(pz) < 2.5)
+    hitp &= in_extent
+    t_best = np.where(hitp, tp, t_best)
+    color = np.where(hitp[..., None], pcol, color)
+
+    # sphere at (0.5, -0.3, 0), r=0.5
+    sc = np.array([0.5, -0.3, 0.0])
+    oc = o - sc
+    b = np.sum(d * oc, axis=-1)
+    c = np.sum(oc * oc) - 0.25
+    disc = b * b - c
+    ts = -b - np.sqrt(np.maximum(disc, 0))
+    hits = (disc > 0) & (ts > 0) & (ts < t_best)
+    n = (o + d * ts[..., None] - sc) / 0.5
+    shade = 0.3 + 0.7 * np.clip(n @ light, 0, 1)
+    scol = (np.array([0.85, 0.3, 0.25]) * shade[..., None]).astype(
+        np.float32)
+    t_best = np.where(hits, ts, t_best)
+    color = np.where(hits[..., None], scol, color)
+
+    # box [-0.9,-0.8,-0.5] .. [-0.3,-0.1,0.1] (slab method)
+    lo = np.array([-0.9, -0.8, -0.5])
+    hi = np.array([-0.3, -0.1, 0.1])
+    safe_d = np.where(np.abs(d) > 1e-9, d, 1e-9)
+    t0 = (lo - o) / safe_d
+    t1 = (hi - o) / safe_d
+    tmin = np.max(np.minimum(t0, t1), axis=-1)
+    tmax = np.min(np.maximum(t0, t1), axis=-1)
+    hitb = (tmax > tmin) & (tmin > 0) & (tmin < t_best)
+    pb = o + d * tmin[..., None]
+    ctr = (lo + hi) / 2
+    rel = (pb - ctr) / ((hi - lo) / 2)
+    axis = np.argmax(np.abs(rel), axis=-1)
+    nb = np.eye(3)[axis] * np.sign(
+        np.take_along_axis(rel, axis[..., None], axis=-1))
+    shade_b = 0.3 + 0.7 * np.clip(nb @ light, 0, 1)
+    bcol = (np.array([0.25, 0.45, 0.8]) * shade_b[..., None]).astype(
+        np.float32)
+    color = np.where(hitb[..., None], bcol, color)
+    return color
+
+
+def make_checker_dataset(n_images: int = 12, h: int = 96, w: int = 96,
+                         ring_radius: float = 3.0,
+                         seed: int = 0) -> Dataset:
+    """Multi-object scene (checker ground + sphere + box): harder than
+    the single sphere, exercises occupancy pruning and view-dependent
+    shading more meaningfully."""
+    rng = np.random.default_rng(seed)
+    focal = 0.9 * w
+    intrinsic = np.array([[focal, 0, w / 2.0],
+                          [0, focal, h / 2.0],
+                          [0, 0, 1.0]], dtype=np.float32)
+    poses, images = [], []
+    for k in range(n_images):
+        ang = 2.0 * np.pi * k / n_images
+        elev = 0.5 + 0.12 * rng.standard_normal()
+        pos = ring_radius * np.array([
+            np.cos(ang) * np.cos(elev), np.sin(elev),
+            np.sin(ang) * np.cos(elev)])
+        pose = look_at_pose(pos, np.array([0.0, -0.3, 0.0]))
+        poses.append(pose)
+        images.append(_render_scene(pose, intrinsic, h, w))
+    poses = np.stack(poses).astype(np.float32)
+    from f2nerf_tpu.core.cameras import normalize_poses
+    poses, center, radius = normalize_poses(poses)
+    return Dataset(
+        poses=poses, intrinsics=np.stack([intrinsic] * n_images),
+        dist_params=np.zeros((n_images, 4), dtype=np.float32),
+        bounds=np.tile(np.array([0.1, 10.0], dtype=np.float32),
+                       (n_images, 1)),
+        images=np.stack(images), center=center, radius=radius)
+
+
 def make_sphere_dataset(n_images: int = 8, h: int = 64, w: int = 64,
                         ring_radius: float = 3.0,
                         seed: int = 0) -> Dataset:

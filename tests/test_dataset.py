@@ -63,3 +63,12 @@ def test_image_io_roundtrip(tmp_path, rng):
     assert np.abs(back - img).max() < 1.0 / 255 + 1e-6
     small = resize_image(img, 10, 12)
     assert small.shape == (10, 12, 3)
+
+
+def test_checker_dataset():
+    from f2nerf_tpu.data.synthetic import make_checker_dataset
+    ds = make_checker_dataset(n_images=3, h=32, w=32)
+    assert ds.images.shape == (3, 32, 32, 3)
+    assert 0.0 <= ds.images.min() and ds.images.max() <= 1.0
+    # multi-object scene: views differ substantially
+    assert np.abs(ds.images[0] - ds.images[1]).mean() > 0.02
