@@ -89,7 +89,21 @@ def _render_scene(pose: np.ndarray, intrinsic: np.ndarray, h: int,
     light /= np.linalg.norm(light)
 
     t_best = np.full((h, w), np.inf)
-    color = np.full((h, w, 3), bg, dtype=np.float32)
+    # sky sphere (radius 3.6 around origin): every ray terminates on
+    # consistent geometry, so a trained field can prune empty space
+    # (a constant at-infinity background is view-inconsistent and
+    # forces fog)
+    oc0 = o
+    b0 = np.sum(d * oc0, axis=-1)
+    c0 = np.sum(oc0 * oc0) - 3.6 ** 2
+    tsky = -b0 + np.sqrt(np.maximum(b0 * b0 - c0, 0))
+    psky = o + d * tsky[..., None]
+    sky = (bg + 0.18 * np.sin(2.1 * psky[..., 0])
+           * np.cos(1.7 * psky[..., 2])
+           + 0.1 * np.clip(psky[..., 1] / 3.6, -1, 1))
+    color = np.stack([sky * 0.95, sky, np.minimum(sky * 1.1, 1.0)],
+                     axis=-1).astype(np.float32)
+    color = np.clip(color, 0.0, 1.0)
 
     # ground plane y = -0.8, checkerboard
     denom = d[..., 1]
