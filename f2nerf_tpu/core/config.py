@@ -45,6 +45,12 @@ class ModelConfig:
     contraction_radius: float = 1.0  # src/hash_3d_anchored.cpp:79
     hash_feat_dim: int = 16         # mlp_out_dim, src/hash_3d_anchored.cpp:61
     density_shift: float = 3.0      # DensityAct shift, src/renderer.cpp:55
+    # input warp: 'contract' = radial contraction (what the mounted fork
+    # uses); 'perspective' = F2-NeRF-style image-space-adaptive warp
+    # (models/warp.py) built from the training cameras
+    warp_mode: str = "contract"
+    warp_n_regions: int = 64
+    warp_n_cams: int = 4
 
     # SH shader (reference src/sh_shader.{hpp,cpp})
     sh_degree: int = 4              # 16 coeffs

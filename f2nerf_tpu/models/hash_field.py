@@ -105,8 +105,17 @@ def query(params: Params, consts: Params, points: jnp.ndarray,
     Returns:
       [N, hash_feat_dim] float32 features (channel 0 is raw density).
     """
-    x = points if pre_contracted else contract(points,
-                                               cfg.contraction_radius)
+    if cfg.warp_mode == "perspective" and "warp_rows" in consts:
+        from f2nerf_tpu.models.warp import WarpTables, warp_points
+        from f2nerf_tpu.ops.contraction import uncontract
+        world = uncontract(points, cfg.contraction_radius) \
+            if pre_contracted else points
+        x = warp_points(world, WarpTables(
+            anchors=consts["warp_anchors"], rows=consts["warp_rows"],
+            n_cams=cfg.warp_n_cams))
+    else:
+        x = points if pre_contracted else contract(points,
+                                                   cfg.contraction_radius)
     compute_dtype = jnp.bfloat16 if cfg.bf16_features else jnp.float32
     if encode_fn is not None:
         feat = encode_fn(x, params["feat_pool"],

@@ -18,3 +18,15 @@ def contract(points: jnp.ndarray, radius: float = 1.0) -> jnp.ndarray:
     inside = norm <= radius
     outside_pts = (1.0 + radius - radius / safe_norm) * points / safe_norm
     return jnp.where(inside, points, outside_pts)
+
+
+def uncontract(points: jnp.ndarray, radius: float = 1.0) -> jnp.ndarray:
+    """Inverse of :func:`contract` (defined on the open ball of radius
+    2r): for rho = ||y|| > r, the world radius is r' = r / (1 + r - rho)
+    ... solving rho = (1 + r - r/r') gives r' = r / (1 + r - rho)."""
+    rho = jnp.linalg.norm(points, axis=-1, keepdims=True)
+    safe_rho = jnp.maximum(rho, 1e-12)
+    denom = jnp.maximum(1.0 + radius - safe_rho, 1e-6)
+    r_world = radius / denom
+    outside = points / safe_rho * r_world
+    return jnp.where(rho <= radius, points, outside)

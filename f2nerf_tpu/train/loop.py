@@ -54,6 +54,11 @@ class Trainer:
         key = jax.random.key(cfg.train.seed)
         self.params, self.consts = renderer.init(
             key, cfg.model, dataset.n_images, np_seed=cfg.train.seed)
+        if cfg.model.warp_mode == "perspective":
+            from f2nerf_tpu.models.warp import build_warp
+            tables = build_warp(dataset.poses, cfg.model)
+            self.consts["field"]["warp_anchors"] = tables.anchors
+            self.consts["field"]["warp_rows"] = tables.rows
         self.optimizer = make_optimizer(cfg.train)
         self.opt_state = self.optimizer.init(self.params)
         from f2nerf_tpu.models import occupancy
