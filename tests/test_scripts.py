@@ -114,3 +114,33 @@ def test_inter_poses(rng):
     for p in traj:
         np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
                                    atol=1e-6)
+
+
+def test_umeyama_alignment(rng):
+    from match_two_trajectories import align
+    src = rng.normal(0, 1, (50, 3))
+    th = 0.7
+    r = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    dst = 1.7 * src @ r.T + np.array([2.0, -1.0, 0.5])
+    out = align(src, dst)
+    np.testing.assert_allclose(out["scale"], 1.7, rtol=1e-6)
+    assert out["rmse"] < 1e-9
+    np.testing.assert_allclose(out["rotation"], r, atol=1e-8)
+
+
+def test_timestamp_interpolation(tmp_path):
+    from interpolate import interpolate_at, load_pose_tsv
+    rows = ["timestamp\tx\ty\tz\tqx\tqy\tqz\tqw",
+            "0.0\t0\t0\t0\t0\t0\t0\t1",
+            "1.0\t2\t0\t0\t0\t0\t0\t1",
+            "2.0\t2\t2\t0\t0\t0\t0.7071068\t0.7071068"]
+    p = tmp_path / "pose.tsv"
+    p.write_text("\n".join(rows) + "\n")
+    ts, xyz, quat = load_pose_tsv(p)
+    xq, qq = interpolate_at(ts, xyz, quat, np.array([0.5, 1.5, 3.0]))
+    np.testing.assert_allclose(xq[0], [1, 0, 0], atol=1e-9)
+    np.testing.assert_allclose(xq[1], [2, 1, 0], atol=1e-9)
+    np.testing.assert_allclose(xq[2], [2, 2, 0], atol=1e-9)  # clamped
+    np.testing.assert_allclose(np.linalg.norm(qq, axis=1), 1.0,
+                               atol=1e-9)
