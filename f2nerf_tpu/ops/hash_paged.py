@@ -338,7 +338,9 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
     n = points.shape[0]
     l, c = meta.n_levels, meta.n_channels
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        import os
+        use_pallas = (jax.default_backend() == "tpu"
+                      and not os.environ.get("F2_NO_PALLAS"))
     haloed = halo_pages(pages, meta).astype(compute_dtype)
 
     page_idx, local, frac = _page_indices(points, meta)
