@@ -40,6 +40,13 @@ class ModelConfig:
     hash_mode: str = "paged"
     init_seed: int = 2022           # numpy-side init (primes, page consts)
     encode_chunk: int = 65536       # points per paged-encode chunk
+    # ray-coherent run-length dedup of coarse-level page fetches
+    # (ops/hash_paged.py paged_encode_rays) — exact, pure perf
+    encode_dedup: bool = True
+    # dedup a level only while its worst-case run budget is at most this
+    # fraction of samples/ray (beyond that the expansion matmuls cost
+    # more than the saved fetches)
+    dedup_max_frac: float = 0.6
     res_base_pow2: float = 3.0      # per-level res = exp2(3 + 7*l/15): 8..1024
     res_fine_pow2: float = 10.0
     contraction_radius: float = 1.0  # src/hash_3d_anchored.cpp:79

@@ -89,6 +89,56 @@ def init(key: jax.Array, cfg: ModelConfig,
     return params, consts
 
 
+@functools.lru_cache(maxsize=32)
+def ray_budgets(cfg: ModelConfig) -> tuple[int, ...] | None:
+    """Per-level run budgets for ray-coherent encode dedup, or None when
+    dedup does not apply (disabled, xor mode, or perspective warp — the
+    warp is not 1-Lipschitz so the run-count bound would not hold).
+
+    The worst-case march length: the dense sampler's TRAIN jitter is
+    (U[0,1)-0.5)+1 in [0.5, 1.5) accumulated by cumsum
+    (models/sampler.py), so t_max < 1.5 * n_samples * sample_l; the occ
+    sampler's t never exceeds n_samples * sample_l exactly.
+    """
+    if (not cfg.encode_dedup or cfg.hash_mode != "paged"
+            or cfg.warp_mode == "perspective"):
+        return None
+    if cfg.sampler_mode == "occ":
+        s = cfg.occ_keep * cfg.occ_samples_per_segment
+        march = cfg.n_samples * cfg.sample_l
+    else:
+        s = cfg.n_samples
+        march = 1.5 * cfg.n_samples * cfg.sample_l
+    budgets = hash_paged.dedup_budgets(paged_meta(cfg), s, march,
+                                       cfg.dedup_max_frac)
+    return budgets if any(budgets) else None
+
+
+def query_rays(params: Params, consts: Params, points: jnp.ndarray,
+               cfg: ModelConfig, encode_fn=None) -> jnp.ndarray:
+    """Ray-structured field query: [R, S, 3] -> [R, S, hash_feat_dim].
+
+    Identical results to :func:`query` on the flattened points (the
+    dedup expansion is bitwise-exact, ops/hash_paged.py), but coarse
+    hash levels fetch one row per page-run along each ray instead of one
+    per sample — the encode is row-rate-bound on TPU, so this is the
+    difference between paying for R*S rows and paying for the far fewer
+    rows a coherent ray actually touches.
+    """
+    r, s = points.shape[0], points.shape[1]
+    budgets = ray_budgets(cfg) if encode_fn is None else None
+    if budgets is None:
+        return query(params, consts, points.reshape(r * s, 3), cfg,
+                     encode_fn=encode_fn).reshape(r, s, -1)
+    x = contract(points.reshape(r * s, 3),
+                 cfg.contraction_radius).reshape(r, s, 3)
+    compute_dtype = jnp.bfloat16 if cfg.bf16_features else jnp.float32
+    feat = hash_paged.paged_encode_rays(
+        x, params["feat_pool"], paged_meta(cfg), budgets,
+        compute_dtype=compute_dtype, chunk=cfg.encode_chunk)
+    return feat @ params["mlp"]["w"] + params["mlp"]["b"]
+
+
 def query(params: Params, consts: Params, points: jnp.ndarray,
           cfg: ModelConfig, encode_fn=None,
           pre_contracted: bool = False) -> jnp.ndarray:

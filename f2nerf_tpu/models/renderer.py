@@ -97,10 +97,9 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
         smp = sampler.sample_rays(rays_o, rays_d, cfg, key_noise)
         s = cfg.n_samples
 
-    flat_pts = smp.pts.reshape(r * s, 3)
-    feat = hash_field.query(params["field"], consts["field"], flat_pts,
-                            cfg, encode_fn=encode_fn)          # [R*S, F]
-    feat = feat.reshape(r, s, -1)
+    feat = hash_field.query_rays(params["field"], consts["field"],
+                                 smp.pts, cfg,
+                                 encode_fn=encode_fn)          # [R, S, F]
 
     sigma = density_activation(feat[..., 0], cfg.density_shift)  # [R, S]
 

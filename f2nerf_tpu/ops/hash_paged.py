@@ -29,16 +29,21 @@ a scatter:
   as [C, 128] (125 cells + 3 pad) so the trilinear reduction runs over
   a full 128-lane axis.
 * Forward: one `jnp.take` of [P_total, C*128] rows per (point, level);
-  trilinear interpolation is a dot_general against a weight row built
-  from three 5-wide one-hot pairs by static repeat/tile (pure
-  lane-dimension VPU work).
+  trilinear interpolation contracts each row against per-point weights
+  (Pallas kernel building the weights in-register, kernels/trilinear.py).
 * Backward (custom VJP): cotangents w.r.t. the fetched rows reduce into
   pages with `jax.ops.segment_sum` — deterministic across runs and
   shard counts (BASELINE.md requirement), replacing both the
   reference's fp16 atomicAdd race (src/hash_3d_anchored.cu:135-142)
-  and XLA's serial scatter. Point gradients come from `jax.vjp` of the
-  contraction (equivalent to the reference's corner-sign analytic
+  and XLA's serial scatter. Point gradients come from the analytic
+  trilinear derivative (equivalent to the reference's corner-sign
   gradient, src/hash_3d_anchored.cu:122-133).
+
+The encode processes each level as its own ROW STREAM (gather ->
+kernel -> segment_sum, all [N, C*128]-shaped): profiling showed a
+combined [N, L, C*128] layout spends ~20% of the step in pure layout
+copies (XLA picks an L-minor layout for the multi-level gather, then
+must transpose for the kernels).
 
 Total parameter capacity (sum over levels of pages*64*C) is configured
 to match the reference's 2^19 x 16 x 2 pool.
@@ -47,6 +52,7 @@ to match the reference's 2^19 x 16 x 2 pool.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -213,107 +219,257 @@ def _weight_row(local: jnp.ndarray, frac: jnp.ndarray,
     return jnp.pad(w, pad)                               # [..., 128]
 
 
-def _contract(rows: jnp.ndarray, w_row: jnp.ndarray,
-              n_channels: int) -> jnp.ndarray:
-    """rows [N, L, C*128] (bf16) x w_row [N, L, 128] -> [N, L, C] f32.
+# ---------------------------------------------------------------------------
+# Ray-coherent run-length dedup
+#
+# Samples along a ray visit coarse-level pages in long runs: the block
+# coordinate of a (contracted) ray path is piecewise-constant over the
+# sample axis, changing only at block-boundary crossings. At level scale
+# s over a march of length m, the number of page-runs per ray is bounded
+# by 1 + crossings <= 1 + sqrt(3)*m*s/BLOCK + 3 (total variation per
+# axis of the 1-Lipschitz contracted path, Cauchy-Schwarz across axes,
+# +1 rounding per axis). So instead of fetching one row per *sample*, the
+# dedup path fetches one row per *run* (a static per-level budget B_l
+# bounds the run count) and expands runs back to samples with a one-hot
+# batched matmul on the MXU — compute we have in abundance, spent to
+# avoid row fetches we do not. The backward similarly reduces sample
+# cotangents into run cotangents with one matmul, shrinking the
+# deterministic segment_sum from R*S rows to R*B_l rows.
+#
+# Exactness: when the run count never exceeds B_l (guaranteed by the
+# bound above for any sampler whose t is monotone over valid samples,
+# plus slack for the occ sampler's invalid-slot suffix), the expanded
+# rows are bitwise identical to per-sample gathers — the one-hot matmul
+# has exactly one nonzero term per output row. tests/test_hash.py checks
+# this, including adversarial diagonal rays.
+# ---------------------------------------------------------------------------
 
-    Batched matvec over the 128-lane axis (dot_general accumulates in
-    f32 without materializing an f32 copy of the rows).
+
+def dedup_budgets(meta: PagedMeta, s_per_ray: int, march: float,
+                  max_frac: float = 0.6) -> tuple[int, ...]:
+    """Per-level run budgets (0 = level not deduped).
+
+    A level is deduped only when its worst-case budget is at most
+    ``max_frac * s_per_ray`` — beyond that the fetch saving no longer
+    pays for the expansion matmuls.
     """
-    n, l = rows.shape[0], rows.shape[1]
-    r = rows.reshape(n, l, n_channels, ROW_PAD)
-    return jax.lax.dot_general(
-        r, w_row.astype(rows.dtype),
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32)              # [N, L, C]
+    out = []
+    for lvl in range(meta.n_levels):
+        b = int(np.ceil(np.sqrt(3.0) * march * float(meta.scales[lvl])
+                        / BLOCK)) + 8
+        b = ((b + 7) // 8) * 8
+        out.append(b if b <= max_frac * s_per_ray else 0)
+    return tuple(out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _encode_rows(haloed: jnp.ndarray, page_idx: jnp.ndarray,
-                 local_frac: jnp.ndarray, n_channels: int,
-                 page_layout: tuple[tuple[int, int], ...],
-                 use_pallas: bool) -> jnp.ndarray:
-    """Gather page rows + contract.
+def compute_runs(page_idx_l: jnp.ndarray, budget: int, fill: int
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Run-length structure of one level's page indices along rays.
 
-    haloed: [P_total, C*128]; local_frac packs (local as float, frac) as
-    [N, L, 6] float32 so the custom_vjp has one differentiable tensor
-    argument for the point-gradient path. With use_pallas, the
-    contraction runs as a Pallas kernel (kernels/trilinear.py) that
-    builds the trilinear weights in-register; otherwise a pure-jnp
-    formulation (slower: XLA materializes the weight rows).
+    Args:
+      page_idx_l: [R, S] global page index per sample.
+      budget: static max runs per ray (run ids clamp here; see the
+        exactness bound above for why they never do for honest budgets).
+      fill: page index assigned to unused run slots (the level's first
+        page — any valid row; its fetch result is never selected).
+
+    Returns:
+      run_id [R, S] int32 in [0, budget), run_page [R, budget] int32.
     """
-    local = local_frac[..., 0:3].astype(jnp.int32)
-    frac = local_frac[..., 3:6]
-    rows = jnp.take(haloed, page_idx, axis=0)
-    n, l = page_idx.shape
+    r = page_idx_l.shape[0]
+    chg = (page_idx_l[:, 1:] != page_idx_l[:, :-1]).astype(jnp.int32)
+    run_id = jnp.concatenate(
+        [jnp.zeros((r, 1), jnp.int32), jnp.cumsum(chg, axis=1)], axis=1)
+    run_id = jnp.minimum(run_id, budget - 1)
+    b_iota = jnp.arange(budget, dtype=jnp.int32)
+    # all samples of a run share the page, so max == the page; empty run
+    # slots keep `fill`
+    run_page = jnp.max(
+        jnp.where(run_id[:, :, None] == b_iota, page_idx_l[:, :, None],
+                  fill), axis=1)
+    return run_id, run_page
+
+
+def _run_onehot(run_id_l: jnp.ndarray, budget: int, dtype) -> jnp.ndarray:
+    """[R, S] run ids -> [R, S, B] one-hot selection matrix."""
+    return (run_id_l[:, :, None]
+            == jnp.arange(budget, dtype=jnp.int32)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Per-level row-stream encode core
+# ---------------------------------------------------------------------------
+
+
+def _fetch_level(haloed, page_idx, run_id, run_pages, lvl, di, doff,
+                 budget, s_per_ray):
+    """One level's per-sample rows [N, cw]: plain gather, or run gather +
+    one-hot MXU expansion when the level is deduped."""
+    if not budget:
+        return jnp.take(haloed, page_idx[:, lvl], axis=0)
+    n = page_idx.shape[0]
+    r = n // s_per_ray
+    rp = run_pages[:, doff:doff + budget]                # [R, B]
+    rows_d = jnp.take(haloed, rp, axis=0)                # [R, B, cw]
+    onehot = _run_onehot(run_id[:, :, di], budget, haloed.dtype)
+    rows = jax.lax.dot_general(                          # [R, S, cw]
+        onehot, rows_d,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))))
+    return rows.reshape(n, -1)
+
+
+def _contract_level(rows_l, local_l, frac_l, n_channels, use_pallas):
+    """rows_l [N, cw] x per-point trilinear weights -> [N, C] f32."""
     if use_pallas:
         from f2nerf_tpu.kernels.trilinear import contract_fwd
-        feat = contract_fwd(rows.reshape(n, -1), local, frac, l,
-                            n_channels)
-        return feat.reshape(n, l, n_channels)
-    w_row = _weight_row(local, frac, dtype=haloed.dtype)
-    return _contract(rows, w_row, n_channels)
+        return contract_fwd(rows_l, local_l[:, None, :],
+                            frac_l[:, None, :], 1, n_channels)
+    w_row = _weight_row(local_l, frac_l, dtype=rows_l.dtype)  # [N, 128]
+    n = rows_l.shape[0]
+    return jax.lax.dot_general(
+        rows_l.reshape(n, n_channels, ROW_PAD), w_row,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [N, C]
 
 
-def _encode_rows_fwd(haloed, page_idx, local_frac, n_channels,
-                     page_layout, use_pallas):
-    out = _encode_rows(haloed, page_idx, local_frac, n_channels,
-                       page_layout, use_pallas)
-    return out, (haloed, page_idx, local_frac)
+def _drows_level(g_l, local_l, frac_l, n_channels, use_pallas, dtype):
+    """Cotangent w.r.t. one level's rows: [N, cw] (rows not needed)."""
+    if use_pallas:
+        from f2nerf_tpu.kernels.trilinear import contract_bwd_rows
+        return contract_bwd_rows(local_l[:, None, :], frac_l[:, None, :],
+                                 g_l.astype(jnp.float32), 1, n_channels,
+                                 dtype)
+    w_row = _weight_row(local_l, frac_l, dtype=jnp.float32)
+    n = g_l.shape[0]
+    return (g_l.astype(jnp.float32)[:, :, None]
+            * w_row[:, None, :]).reshape(
+        n, n_channels * ROW_PAD).astype(dtype)
 
 
-def _encode_rows_bwd(n_channels, page_layout, use_pallas, res, g):
-    haloed, page_idx, local_frac = res
+def _dfrac_level(rows_l, local_l, frac_l, g_l, n_channels, use_pallas):
+    """Point-gradient path for one level: [N, 3] (needs the rows;
+    DCE'd in training where point gradients are unused)."""
+    if use_pallas:
+        from f2nerf_tpu.kernels.trilinear import contract_bwd_frac
+        return contract_bwd_frac(rows_l, local_l[:, None, :],
+                                 frac_l[:, None, :],
+                                 g_l.astype(jnp.float32), 1,
+                                 n_channels)[:, 0]
+    n = rows_l.shape[0]
+    d_w = jax.lax.dot_general(                           # [N, 128]
+        g_l.astype(rows_l.dtype), rows_l.reshape(n, n_channels, ROW_PAD),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+    def wfn(fr):
+        return _weight_row(local_l, fr, dtype=jnp.float32)
+
+    _, w_vjp = jax.vjp(wfn, frac_l)
+    (d_frac,) = w_vjp(d_w)
+    return d_frac
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _encode_core(haloed: jnp.ndarray, page_idx: jnp.ndarray,
+                 local_frac: jnp.ndarray, run_id: jnp.ndarray,
+                 run_pages: jnp.ndarray, n_channels: int,
+                 page_layout: tuple[tuple[int, int], ...],
+                 use_pallas: bool, budgets: tuple[int, ...],
+                 s_per_ray: int) -> jnp.ndarray:
+    """Level-major encode: per level, gather (or dedup-expand) rows and
+    contract against trilinear weights.
+
+    haloed [P, C*128]; page_idx [N, L]; local_frac [N, L, 6] (local as
+    float + frac); run_id [R, S, n_dedup] and run_pages [R, sum(budgets)]
+    (zero-size when nothing is deduped; N = R * s_per_ray otherwise).
+    Returns [N, L*C] float32.
+    """
     local = local_frac[..., 0:3].astype(jnp.int32)
     frac = local_frac[..., 3:6]
-    n, l = page_idx.shape
+    feats = []
+    di = doff = 0
+    for lvl, b in enumerate(budgets):
+        rows_l = _fetch_level(haloed, page_idx, run_id, run_pages, lvl,
+                              di, doff, b, s_per_ray)
+        feats.append(_contract_level(rows_l, local[:, lvl], frac[:, lvl],
+                                     n_channels, use_pallas))
+        if b:
+            di += 1
+            doff += b
+    return jnp.concatenate(feats, axis=-1)               # [N, L*C]
 
-    if use_pallas:
-        from f2nerf_tpu.kernels.trilinear import (contract_bwd_frac,
-                                                  contract_bwd_rows)
-        g32 = g.reshape(n, l * n_channels).astype(jnp.float32)
-        d_rows = contract_bwd_rows(
-            local, frac, g32, l, n_channels, haloed.dtype).reshape(
-            n, l, n_channels * ROW_PAD)
-        # d_frac (and its row re-fetch) is DCE'd unless point gradients
-        # are actually consumed (pose optimization)
-        rows = jnp.take(haloed, page_idx, axis=0)
-        d_frac = contract_bwd_frac(rows.reshape(n, -1), local, frac,
-                                   g32, l, n_channels)
-    else:
-        rows = jnp.take(haloed, page_idx, axis=0)         # re-fetch
-        w_row = _weight_row(local, frac, dtype=jnp.float32)  # [N, L, 128]
-        g32 = g.astype(jnp.float32)                          # [N, L, C]
-        d_rows = (g32[..., None] * w_row[:, :, None, :]).reshape(
-            n, l, n_channels * ROW_PAD).astype(haloed.dtype)
-        r = rows.reshape(n, l, n_channels, ROW_PAD)
-        d_w = jax.lax.dot_general(                           # [N, L, 128]
-            g.astype(rows.dtype), r,
-            dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32)
 
-        def wfn(fr):
-            return _weight_row(local, fr, dtype=jnp.float32)
+def _encode_core_fwd(haloed, page_idx, local_frac, run_id, run_pages,
+                     n_channels, page_layout, use_pallas, budgets,
+                     s_per_ray):
+    out = _encode_core(haloed, page_idx, local_frac, run_id, run_pages,
+                       n_channels, page_layout, use_pallas, budgets,
+                       s_per_ray)
+    return out, (haloed, page_idx, local_frac, run_id, run_pages)
 
-        _, w_vjp = jax.vjp(wfn, frac)
-        (d_frac,) = w_vjp(d_w)
 
-    # deterministic page-row reduction (not XLA scatter); split per level
-    # — segment_sum's row rate degrades ~1.6x at large segment counts,
-    # and each level's indices already live in a contiguous page range
+def _encode_core_bwd(n_channels, page_layout, use_pallas, budgets,
+                     s_per_ray, res, g):
+    haloed, page_idx, local_frac, run_id, run_pages = res
+    local = local_frac[..., 0:3].astype(jnp.int32)
+    frac = local_frac[..., 3:6]
+    n = page_idx.shape[0]
+    r = n // s_per_ray if s_per_ray else n
+
     d_haloed_parts = []
+    d_frac_cols = []
+    di = doff = 0
     for lvl, (off, n_p) in enumerate(page_layout):
-        d_haloed_parts.append(jax.ops.segment_sum(
-            d_rows[:, lvl].astype(jnp.float32),
-            page_idx[:, lvl] - off, num_segments=n_p))
+        b = budgets[lvl]
+        g_l = g[:, lvl * n_channels:(lvl + 1) * n_channels]
+        d_rows_l = _drows_level(g_l, local[:, lvl], frac[:, lvl],
+                                n_channels, use_pallas, haloed.dtype)
+        if b:
+            # compress sample cotangents into run cotangents (MXU), then
+            # a much smaller deterministic segment_sum
+            onehot = _run_onehot(run_id[:, :, di], b, d_rows_l.dtype)
+            d_runs = jax.lax.dot_general(                # [R, B, cw]
+                onehot, d_rows_l.reshape(r, s_per_ray, -1),
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            rp = run_pages[:, doff:doff + b]
+            d_haloed_parts.append(jax.ops.segment_sum(
+                d_runs.reshape(r * b, -1), (rp - off).reshape(-1),
+                num_segments=n_p))
+            di += 1
+            doff += b
+        else:
+            d_haloed_parts.append(jax.ops.segment_sum(
+                d_rows_l.astype(jnp.float32), page_idx[:, lvl] - off,
+                num_segments=n_p))
+        # point-gradient path (re-fetches rows; DCE'd in training)
+        rows_l = _fetch_level(haloed, page_idx, run_id, run_pages, lvl,
+                              di - (1 if b else 0), doff - b, b,
+                              s_per_ray)
+        d_frac_cols.append(_dfrac_level(rows_l, local[:, lvl],
+                                        frac[:, lvl], g_l, n_channels,
+                                        use_pallas))
     d_haloed = jnp.concatenate(d_haloed_parts, axis=0)
-
+    d_frac = jnp.stack(d_frac_cols, axis=1)              # [N, L, 3]
     d_local_frac = jnp.concatenate(
         [jnp.zeros_like(d_frac), d_frac], axis=-1)
-    return d_haloed.astype(haloed.dtype), None, d_local_frac
+    return (d_haloed.astype(haloed.dtype), None, d_local_frac, None,
+            None)
 
 
-_encode_rows.defvjp(_encode_rows_fwd, _encode_rows_bwd)
+_encode_core.defvjp(_encode_core_fwd, _encode_core_bwd)
+
+
+def _no_dedup_dummies():
+    return (jnp.zeros((1, 1, 0), jnp.int32), jnp.zeros((1, 0), jnp.int32))
+
+
+def _resolve_pallas(use_pallas):
+    if use_pallas is None:
+        import os
+        return (jax.default_backend() == "tpu"
+                and not os.environ.get("F2_NO_PALLAS"))
+    return use_pallas
 
 
 def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
@@ -328,8 +484,8 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
       meta: from :func:`make_paged_meta`.
       compute_dtype: dtype of the materialized haloed table (the
         bf16-compute analogue of the reference's fp16 kernel).
-      chunk: points per processing chunk (bounds the [chunk, L, C*128]
-        fetched-rows intermediate).
+      chunk: points per processing chunk (bounds the per-level [chunk,
+        C*128] fetched-rows intermediates).
 
     Returns:
       [N, L*C] float32 features, channel-minor per level (matches the
@@ -337,28 +493,31 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
     """
     n = points.shape[0]
     l, c = meta.n_levels, meta.n_channels
-    if use_pallas is None:
-        import os
-        use_pallas = (jax.default_backend() == "tpu"
-                      and not os.environ.get("F2_NO_PALLAS"))
+    use_pallas = _resolve_pallas(use_pallas)
     haloed = halo_pages(pages, meta).astype(compute_dtype)
+    layout = tuple(zip(meta.page_offset, meta.n_pages))
+    budgets = (0,) * l
+    run_id, run_pages = _no_dedup_dummies()
 
     page_idx, local, frac = _page_indices(points, meta)
     local_frac = jnp.concatenate(
-        [local.astype(jnp.float32), frac], axis=-1)     # [N, L, 6]
+        [local.astype(jnp.float32), frac], axis=-1)      # [N, L, 6]
 
+    if use_pallas:
+        from f2nerf_tpu.kernels.trilinear import TILE
+        tile = TILE
+    else:
+        tile = 8
     if n <= chunk:
-        # pad to the pallas tile size (N*L rows must tile by 1024)
-        tile = 1024 if use_pallas else 8
         pad = (-n) % tile
         if pad:
             page_idx = jnp.pad(page_idx, ((0, pad), (0, 0)))
             local_frac = jnp.pad(local_frac, ((0, pad), (0, 0), (0, 0)))
-        feat = _encode_rows(haloed, page_idx, local_frac, c,
-                            tuple(zip(meta.page_offset, meta.n_pages)),
-                            use_pallas)
-        return feat.reshape(n + pad, l * c)[:n]
+        feat = _encode_core(haloed, page_idx, local_frac, run_id,
+                            run_pages, c, layout, use_pallas, budgets, 0)
+        return feat[:n]
 
+    chunk = max(tile, chunk - chunk % tile)
     pad = (-n) % chunk
     if pad:
         page_idx = jnp.pad(page_idx, ((0, pad), (0, 0)))
@@ -367,11 +526,93 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
 
     def chunk_fn(args):
         pi, lf = args
-        return _encode_rows(haloed, pi, lf, c,
-                            tuple(zip(meta.page_offset, meta.n_pages)),
-                            use_pallas)
+        return _encode_core(haloed, pi, lf, run_id, run_pages, c,
+                            layout, use_pallas, budgets, 0)
 
     feat = jax.lax.map(
         chunk_fn, (page_idx.reshape(n_chunks, chunk, l),
                    local_frac.reshape(n_chunks, chunk, l, 6)))
     return feat.reshape(n + pad, l * c)[:n]
+
+
+def paged_encode_rays(points: jnp.ndarray, pages: jnp.ndarray,
+                      meta: PagedMeta, budgets: tuple[int, ...],
+                      compute_dtype=jnp.bfloat16, chunk: int = 65536,
+                      use_pallas: bool | None = None) -> jnp.ndarray:
+    """Ray-structured encode with coarse-level run dedup.
+
+    Args:
+      points: [R, S, 3] contracted sample points, t monotone over valid
+        samples along axis 1 (both samplers guarantee this).
+      budgets: per-level run budgets from :func:`dedup_budgets`.
+
+    Returns:
+      [R, S, L*C] float32 features (same layout as paged_encode).
+    """
+    r, s = points.shape[0], points.shape[1]
+    l, c = meta.n_levels, meta.n_channels
+    use_pallas = _resolve_pallas(use_pallas)
+    if not any(budgets):
+        flat = paged_encode(points.reshape(r * s, 3), pages, meta,
+                            compute_dtype=compute_dtype, chunk=chunk,
+                            use_pallas=use_pallas)
+        return flat.reshape(r, s, l * c)
+    haloed = halo_pages(pages, meta).astype(compute_dtype)
+    layout = tuple(zip(meta.page_offset, meta.n_pages))
+    dedup_lvls = [lvl for lvl, b in enumerate(budgets) if b]
+
+    # index math on the full batch (identical shapes — and therefore
+    # identical XLA FMA fusion — to the flat path, keeping dedup
+    # bitwise-equal to it regardless of chunking)
+    page_idx, local, frac = _page_indices(points.reshape(r * s, 3), meta)
+    local_frac = jnp.concatenate(
+        [local.astype(jnp.float32), frac], axis=-1)      # [R*S, L, 6]
+    rid_cols, rp_cols = [], []
+    for lvl in dedup_lvls:
+        rid, rp = compute_runs(page_idx.reshape(r, s, l)[:, :, lvl],
+                               budgets[lvl], fill=meta.page_offset[lvl])
+        rid_cols.append(rid)
+        rp_cols.append(rp)
+    run_id = jnp.stack(rid_cols, axis=-1)                # [R, S, Ld]
+    run_pages = jnp.concatenate(rp_cols, axis=-1)        # [R, sumB]
+
+    # rays per chunk: bound fetched-rows memory AND satisfy the pallas
+    # tile rule (rows per chunk R_c*S must divide by the kernel TILE)
+    chunk_rays = max(1, chunk // s)
+    if use_pallas:
+        from f2nerf_tpu.kernels.trilinear import TILE
+        while (chunk_rays * s) % TILE:
+            chunk_rays += 1
+        tile_rays = TILE // math.gcd(TILE, s)
+    else:
+        tile_rays = 1
+
+    def encode_chunk(args):
+        pi, lf, rid, rp = args
+        rc = rid.shape[0]
+        return _encode_core(haloed, pi.reshape(rc * s, l),
+                            lf.reshape(rc * s, l, 6), rid, rp, c,
+                            layout, use_pallas, budgets, s)
+
+    page_idx = page_idx.reshape(r, s, l)
+    local_frac = local_frac.reshape(r, s, l, 6)
+    pad = (-r) % (tile_rays if r <= chunk_rays else chunk_rays)
+
+    def padr(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
+            if pad else x
+
+    if r <= chunk_rays:
+        feat = encode_chunk((padr(page_idx), padr(local_frac),
+                             padr(run_id), padr(run_pages)))
+        return feat.reshape(r + pad, s, l * c)[:r]
+
+    n_chunks = (r + pad) // chunk_rays
+
+    def reshard(x):
+        return padr(x).reshape((n_chunks, chunk_rays) + x.shape[1:])
+
+    feat = jax.lax.map(
+        encode_chunk, (reshard(page_idx), reshard(local_frac),
+                       reshard(run_id), reshard(run_pages)))
+    return feat.reshape(r + pad, s, l * c)[:r]

@@ -193,3 +193,138 @@ class TestPagedHash:
         meta = paged_meta(cfg)
         total = meta.total_pages * 64 * cfg.n_channels
         assert total >= 10_000_000  # same order as 16.8M reference
+
+
+def _ray_points(rng, n_rays=12, n_samples=48, march=2.0, jitter=True,
+                diag=False, invalid_suffix=False):
+    """[R, S, 3] sample points along straight rays, t monotone (the
+    sampler contract); optionally an occ-style invalid suffix that jumps
+    back to t ~ 0."""
+    o = rng.uniform(-0.4, 0.4, (n_rays, 3)).astype(np.float32)
+    if diag:
+        d = np.sign(rng.normal(size=(n_rays, 3))).astype(np.float32)
+    else:
+        d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    if jitter:
+        noise = rng.uniform(0.5, 1.5, (n_rays, n_samples))
+    else:
+        noise = np.ones((n_rays, n_samples))
+    t = np.cumsum(noise, axis=-1) * (march / n_samples)
+    if invalid_suffix:
+        t[:, -n_samples // 4:] = (np.arange(n_samples // 4)
+                                  * march / n_samples / 4)[None]
+    pts = o[:, None, :] + d[:, None, :] * t[..., None].astype(np.float32)
+    return np.clip(pts, -1.98, 1.98).astype(np.float32)
+
+
+class TestDedupEncode:
+    """Run-length dedup (paged_encode_rays) must be bitwise-exact vs the
+    flat path whenever the run budgets hold (they are proven bounds)."""
+
+    def _setup(self, rng, n_levels=3, tsize=4096, c=2, march=2.0,
+               n_samples=48):
+        scales = level_scales(n_levels, 1.0, 4.0)   # 2 .. 16
+        meta = hp.make_paged_meta(n_levels, tsize, c, scales, np_seed=0)
+        pages = rng.normal(
+            size=(meta.total_pages, c, 4, 4, 4)).astype(np.float32)
+        budgets = hp.dedup_budgets(meta, n_samples, march, max_frac=1.0)
+        assert any(budgets), "test setup must dedup at least one level"
+        return pages, meta, budgets
+
+    def _check_exact(self, pts, pages, meta, budgets):
+        r, s = pts.shape[:2]
+        a = hp.paged_encode_rays(jnp.asarray(pts), jnp.asarray(pages),
+                                 meta, budgets,
+                                 compute_dtype=jnp.float32)
+        b = hp.paged_encode(jnp.asarray(pts).reshape(r * s, 3),
+                            jnp.asarray(pages), meta,
+                            compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(a).reshape(r * s, -1),
+                                      np.asarray(b))
+
+    def test_matches_flat_exact(self, rng):
+        pages, meta, budgets = self._setup(rng)
+        pts = _ray_points(rng)
+        self._check_exact(pts, pages, meta, budgets)
+
+    def test_adversarial_diagonal_rays(self, rng):
+        pages, meta, budgets = self._setup(rng)
+        pts = _ray_points(rng, diag=True)
+        self._check_exact(pts, pages, meta, budgets)
+
+    def test_occ_invalid_suffix(self, rng):
+        pages, meta, budgets = self._setup(rng)
+        pts = _ray_points(rng, invalid_suffix=True)
+        self._check_exact(pts, pages, meta, budgets)
+
+    def test_chunked_matches(self, rng):
+        pages, meta, budgets = self._setup(rng)
+        pts = _ray_points(rng, n_rays=10)
+        a = hp.paged_encode_rays(jnp.asarray(pts), jnp.asarray(pages),
+                                 meta, budgets,
+                                 compute_dtype=jnp.float32)
+        b = hp.paged_encode_rays(jnp.asarray(pts), jnp.asarray(pages),
+                                 meta, budgets, chunk=96,
+                                 compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_budget_bound_holds(self, rng):
+        """Measured run counts stay within the proven budgets, even for
+        worst-case diagonal rays."""
+        pages, meta, budgets = self._setup(rng)
+        pts = _ray_points(rng, n_rays=64, diag=True,
+                          invalid_suffix=True)
+        page_idx, _, _ = hp._page_indices(
+            jnp.asarray(pts.reshape(-1, 3)), meta)
+        page_idx = np.asarray(page_idx).reshape(64, 48, meta.n_levels)
+        for lvl, b in enumerate(budgets):
+            if not b:
+                continue
+            runs = 1 + (np.diff(page_idx[:, :, lvl], axis=1) != 0).sum(1)
+            assert runs.max() <= b, (lvl, runs.max(), b)
+
+    def test_grad_matches_flat(self, rng):
+        pages, meta, budgets = self._setup(rng)
+        pts = _ray_points(rng, n_rays=6, n_samples=24)
+        r, s = pts.shape[:2]
+
+        def f_dedup(p_):
+            return jnp.sum(jnp.sin(hp.paged_encode_rays(
+                jnp.asarray(pts), p_, meta, budgets,
+                compute_dtype=jnp.float32)))
+
+        def f_flat(p_):
+            return jnp.sum(jnp.sin(hp.paged_encode(
+                jnp.asarray(pts).reshape(r * s, 3), p_, meta,
+                compute_dtype=jnp.float32)))
+
+        ga = jax.grad(f_dedup)(jnp.asarray(pages))
+        gb = jax.grad(f_flat)(jnp.asarray(pages))
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_point_gradients(self, rng):
+        """d_points flows through the dedup path (pose optimization)."""
+        pages, meta, budgets = self._setup(rng)
+        pts = jnp.asarray(_ray_points(rng, n_rays=4, n_samples=24))
+        pages_j = jnp.asarray(pages)
+
+        def f(pts_):
+            return jnp.sum(jnp.sin(hp.paged_encode_rays(
+                pts_, pages_j, meta, budgets,
+                compute_dtype=jnp.float32)))
+
+        jax.test_util.check_grads(f, (pts,), order=1, modes=["rev"],
+                                  atol=2e-2, rtol=2e-2)
+
+    def test_budget_helper_disables_fine_levels(self):
+        from f2nerf_tpu.core.config import ModelConfig
+        from f2nerf_tpu.models.hash_field import paged_meta, ray_budgets
+        cfg = ModelConfig()          # flagship occ config
+        budgets = ray_budgets(cfg)
+        assert budgets is not None
+        assert budgets[0] > 0        # coarsest level dedups
+        assert budgets[-1] == 0      # finest level does not
+        s = cfg.occ_keep * cfg.occ_samples_per_segment
+        assert all(b <= cfg.dedup_max_frac * s for b in budgets)
