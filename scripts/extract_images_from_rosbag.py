@@ -1,0 +1,249 @@
+#!/usr/bin/env python3
+"""Extract time-aligned (image, pose) pairs from a rosbag2 sqlite3 bag.
+
+Rebuild of the reference's
+``scripts/extract_multi_view_images_from_rosbag.py`` (rclpy/rosbag2_py/
+cv_bridge-based) on the pure-Python reader in rosbag_reader.py, so it
+runs anywhere. Behavior mirrors the reference:
+
+* per camera topic: collect frames (``--skip`` subsampling, identical
+  consecutive frames dropped), decode CompressedImage (jpeg/png via
+  PIL) or raw Image;
+* poses from the pose topic (PoseStamped or PoseWithCovarianceStamped),
+  moved from base_link to the camera frame with the calibration chain
+  base_link -> sensor_kit_base_link -> camera (per-axis euler xyz + xyz
+  offsets, same YAML schema as the reference,
+  extract_multi_view_images_from_rosbag.py:180-203);
+* frames outside the pose time window are dropped, poses are
+  slerp-interpolated at the image timestamps
+  (scripts/interpolate.py);
+* outputs per camera ``each_camera/<topic>_pose.tsv`` + PNGs, plus the
+  merged ``images/`` + ``pose.tsv`` consumed by
+  convert_pose_tsv_to_f2_format.py;
+* camera_info topics are saved as ``camera_info.yaml``.
+
+Usage:
+  python extract_images_from_rosbag.py <bag.db3> <calibration.yaml>
+      <output_dir> [--skip N] [--image_topics ...] [--pose_topic ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import pathlib
+import sys
+
+import numpy as np
+import yaml
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+from interpolate import interpolate_at  # noqa: E402
+from rosbag_reader import decode, read_bag, stamp_to_sec  # noqa: E402
+
+DEFAULT_IMAGE_TOPICS = [
+    f"/sensing/camera/camera{i}/image_rect_color/compressed"
+    for i in range(6)]
+DEFAULT_POSE_TOPIC = \
+    "/localization/pose_estimator/pose_with_covariance"
+
+
+def euler_xyz_to_matrix(roll: float, pitch: float, yaw: float
+                        ) -> np.ndarray:
+    """Extrinsic x-y-z euler (scipy Rotation.from_euler('xyz', ...)
+    convention, as the reference uses): R = Rz(yaw) Ry(pitch) Rx(roll).
+    """
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def _calib_rt(entry: dict) -> tuple[np.ndarray, np.ndarray]:
+    r = euler_xyz_to_matrix(entry.get("roll", 0.0),
+                            entry.get("pitch", 0.0),
+                            entry.get("yaw", 0.0))
+    t = np.array([entry.get("x", 0.0), entry.get("y", 0.0),
+                  entry.get("z", 0.0)])
+    return r, t
+
+
+def base_link_to_camera(calib: dict, frame_id: str
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Compose base_link->sensor_kit->camera (reference :186-203)."""
+    r_b2s, t_b2s = _calib_rt(calib["base_link"]["sensor_kit_base_link"])
+    r_s2c, t_s2c = _calib_rt(calib["sensor_kit_base_link"][frame_id])
+    return r_b2s @ r_s2c, t_b2s + r_b2s @ t_s2c
+
+
+def decode_image(msg: dict, type_name: str) -> np.ndarray:
+    """CompressedImage/Image dict -> uint8 HWC RGB array."""
+    from PIL import Image as PILImage
+    if type_name.endswith("CompressedImage"):
+        img = PILImage.open(io.BytesIO(msg["data"]))
+        return np.asarray(img.convert("RGB"))
+    h, w = msg["height"], msg["width"]
+    enc = msg["encoding"]
+    buf = np.frombuffer(msg["data"], np.uint8)
+    if enc in ("rgb8", "bgr8"):
+        arr = buf.reshape(h, msg["step"] // 1)[:, :w * 3].reshape(h, w, 3)
+        return arr[..., ::-1] if enc == "bgr8" else arr
+    if enc == "mono8":
+        arr = buf.reshape(h, -1)[:, :w]
+        return np.repeat(arr[..., None], 3, axis=-1)
+    raise ValueError(f"unsupported encoding {enc!r}")
+
+
+def quat_mul(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """xyzw quaternion product q1*q2."""
+    x1, y1, z1, w1 = q1
+    x2, y2, z2, w2 = q2
+    return np.array([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2])
+
+
+def matrix_to_quat_xyzw(m: np.ndarray) -> np.ndarray:
+    from f2nerf_tpu.localize.localizer import matrix_to_quat
+    w, x, y, z = matrix_to_quat(m)
+    return np.array([x, y, z, w])
+
+
+def rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    from f2nerf_tpu.localize.localizer import quat_to_matrix
+    x, y, z, w = q
+    return quat_to_matrix(np.array([w, x, y, z])) @ v
+
+
+def save_png(path: pathlib.Path, arr: np.ndarray) -> None:
+    from PIL import Image as PILImage
+    PILImage.fromarray(arr).save(path)
+
+
+def write_pose_tsv(path: pathlib.Path, ts: np.ndarray, xyz: np.ndarray,
+                   quat: np.ndarray) -> None:
+    cols = "\ttimestamp\tx\ty\tz\tqx\tqy\tqz\tqw\n"
+    with open(path, "w") as f:
+        f.write(cols)
+        for i, (t, p, q) in enumerate(zip(ts, xyz, quat)):
+            vals = "\t".join(f"{v:.12f}" for v in (*p, *q))
+            f.write(f"{i}\t{t:.12f}\t{vals}\n")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path_to_rosbag", type=str)
+    ap.add_argument("calibration_yaml", type=str)
+    ap.add_argument("output_dir", type=str)
+    ap.add_argument("--skip", type=int, default=1)
+    ap.add_argument("--image_topics", nargs="*",
+                    default=DEFAULT_IMAGE_TOPICS)
+    ap.add_argument("--pose_topic", default=DEFAULT_POSE_TOPIC)
+    args = ap.parse_args()
+
+    with open(args.calibration_yaml) as f:
+        calib = yaml.safe_load(f)
+    out = pathlib.Path(args.output_dir)
+    (out / "each_camera").mkdir(parents=True, exist_ok=True)
+    (out / "images").mkdir(exist_ok=True)
+    (out / "rosbag_info.txt").write_text(f"{args.path_to_rosbag}\n")
+
+    image_ts: dict[str, list[float]] = {t: [] for t in args.image_topics}
+    images: dict[str, list[np.ndarray]] = {t: [] for t in
+                                           args.image_topics}
+    frame_ids: dict[str, str] = {}
+    counts: dict[str, int] = {t: 0 for t in args.image_topics}
+    prev: dict[str, np.ndarray] = {}
+    pose_ts: list[float] = []
+    pose_xyz: list[np.ndarray] = []
+    pose_quat: list[np.ndarray] = []
+
+    wanted = set(args.image_topics) | {args.pose_topic}
+    for topic, typ, ts_ns, data in read_bag(args.path_to_rosbag):
+        if topic in args.image_topics:
+            msg = decode(data, typ)
+            frame_ids[topic] = msg["header"]["frame_id"]
+            img = decode_image(msg, typ)
+            same = topic in prev and np.array_equal(prev[topic], img)
+            prev[topic] = img
+            counts[topic] += 1
+            if same or counts[topic] % args.skip != 0:
+                continue
+            image_ts[topic].append(ts_ns / 1e9)
+            images[topic].append(img)
+        elif topic == args.pose_topic:
+            msg = decode(data, typ)
+            pose = msg["pose"]["pose"] if "pose" in msg["pose"] \
+                else msg["pose"]
+            p = pose["position"]
+            q = pose["orientation"]
+            pose_ts.append(ts_ns / 1e9)
+            pose_xyz.append(np.array([p["x"], p["y"], p["z"]]))
+            pose_quat.append(np.array([q["x"], q["y"], q["z"], q["w"]]))
+        elif topic.endswith("camera_info"):
+            msg = decode(data, typ)
+            info = {"image_width": msg["width"],
+                    "image_height": msg["height"],
+                    "camera_matrix": {"rows": 3, "cols": 3,
+                                      "data": list(msg["k"])},
+                    "distortion_coefficients": {
+                        "rows": 1, "cols": len(msg["d"]),
+                        "data": list(msg["d"])},
+                    "distortion_model": msg["distortion_model"]}
+            with open(out / "camera_info.yaml", "w") as f:
+                yaml.safe_dump(info, f)
+    del wanted
+
+    if not pose_ts:
+        raise SystemExit(f"no poses on {args.pose_topic}")
+    pose_ts_a = np.array(pose_ts)
+    pose_xyz_a = np.stack(pose_xyz)
+    pose_quat_a = np.stack(pose_quat)
+
+    merged_idx = 0
+    merged_rows: list[str] = []
+    for topic in args.image_topics:
+        if not images[topic]:
+            continue
+        frame_id = frame_ids[topic].replace("_optical", "")
+        r_b2c, t_b2c = base_link_to_camera(calib, frame_id)
+        q_b2c = matrix_to_quat_xyzw(r_b2c)
+        # base_link pose -> camera pose (reference :206-217)
+        cam_xyz = pose_xyz_a + np.stack(
+            [rotate(q, t_b2c) for q in pose_quat_a])
+        cam_quat = np.stack(
+            [quat_mul(q_b2c, q) for q in pose_quat_a])
+
+        ts = np.array(image_ts[topic])
+        ok = (ts > pose_ts_a.min()) & (ts < pose_ts_a.max())
+        ts = ts[ok]
+        imgs = [im for im, k in zip(images[topic], ok) if k]
+        xyz_i, quat_i = interpolate_at(pose_ts_a, cam_xyz, cam_quat, ts)
+
+        name = topic[1:].replace("/", "_")
+        cam_dir = out / "each_camera" / name
+        cam_dir.mkdir(parents=True, exist_ok=True)
+        for i, im in enumerate(imgs):
+            save_png(cam_dir / f"{i:08d}.png", im)
+        write_pose_tsv(out / "each_camera" / f"{name}_pose.tsv",
+                       ts, xyz_i, quat_i)
+        for t, p, q, im in zip(ts, xyz_i, quat_i, imgs):
+            save_png(out / "images" / f"{merged_idx:08d}.png", im)
+            vals = "\t".join(f"{v:.12f}" for v in (*p, *q))
+            merged_rows.append(f"{merged_idx}\t{t:.12f}\t{vals}\n")
+            merged_idx += 1
+        print(f"{topic}: {len(imgs)} frames")
+
+    with open(out / "pose.tsv", "w") as f:
+        f.write("\ttimestamp\tx\ty\tz\tqx\tqy\tqz\tqw\n")
+        f.writelines(merged_rows)
+    print(f"wrote {merged_idx} merged frames -> {out}")
+
+
+if __name__ == "__main__":
+    main()
