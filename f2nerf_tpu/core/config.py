@@ -74,7 +74,11 @@ class ModelConfig:
     sampler_mode: str = "occ"
     occ_grid_res: int = 128
     occ_segments: int = 128
-    occ_keep: int = 16
+    # keep=8 with occ_trans_eps eligibility beats keep=16 without it on
+    # both quality and speed (BENCH_NOTES.md: checker scene, PSNR 25.0
+    # vs 20.2 @ 1k steps, 2.4x step rate) — the budget concentrates on
+    # segments in front of / at the first surface
+    occ_keep: int = 8
     occ_samples_per_segment: int = 8
     occ_update_every: int = 16
     occ_decay: float = 0.8
@@ -84,6 +88,11 @@ class ModelConfig:
     # sample uniformly (grid forced occupied) for this many steps so the
     # field differentiates before pruning starts
     occ_warmup_steps: int = 512
+    # transmittance-aware segment eligibility: skip segments whose
+    # estimated transmittance (from the sigma-EMA grid) is below this.
+    # Conservative vs trans_eps because the EMA overestimates sigma.
+    # 0 disables (plain occupancy).
+    occ_trans_eps: float = 1e-6
 
     # Renderer
     trans_eps: float = 1e-4         # early-stop transmittance, src/renderer.cpp:65

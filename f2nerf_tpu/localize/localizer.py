@@ -175,8 +175,8 @@ class Localizer:
             d / "checkpoints",
             {"params": params, "opt_state": opt_state, "consts": consts,
              "step": 0, "extra": {"occ_grid": occ_grid}})
-        occ_bits = (occupancy.occupancy_bits(state["extra"]["occ_grid"],
-                                             cfg.model)
+        occ_bits = (occupancy.occ_values(state["extra"]["occ_grid"],
+                                         cfg.model)
                     if cfg.model.sampler_mode == "occ" else None)
         intr = np.array(ip["intrinsic"], dtype=np.float32).reshape(3, 3)
         return cls(state["params"], state["consts"], cfg, intr,

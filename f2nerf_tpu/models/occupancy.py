@@ -82,6 +82,23 @@ def occupancy_bits(grid: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     return (grid >= thresh * 0.999).reshape(-1)
 
 
+def occ_values(grid: jnp.ndarray, cfg: ModelConfig,
+               warmup=False) -> jnp.ndarray:
+    """[G^3] per-cell sigma-EMA, zeroed where unoccupied.
+
+    One array carries both the occupancy decision (value > 0) and the
+    density estimate the sampler uses for transmittance-aware segment
+    eligibility (skip segments behind an estimated-opaque surface —
+    cfg.occ_trans_eps). `warmup` forces everything occupied with the
+    threshold density (cheap bootstrap before the field differentiates).
+    """
+    occ = occupancy_bits(grid, cfg).reshape(grid.shape)
+    vals = jnp.where(occ, jnp.maximum(grid, 1e-12), 0.0)
+    vals = jnp.where(warmup,
+                     jnp.maximum(vals, sigma_threshold(cfg)), vals)
+    return vals.reshape(-1)
+
+
 def update_grid(grid: jnp.ndarray, density_fn, key: jax.Array,
                 cfg: ModelConfig) -> jnp.ndarray:
     """EMA-update the grid by querying density at jittered cell centers.
@@ -103,13 +120,15 @@ def update_grid(grid: jnp.ndarray, density_fn, key: jax.Array,
 
 
 def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
-                    bits: jnp.ndarray, cfg: ModelConfig,
+                    vals: jnp.ndarray, cfg: ModelConfig,
                     key: jax.Array | None) -> OccSamples:
     """Occupancy-guided stratified sampling (static shapes).
 
     Args:
       rays_o/rays_d: [R, 3] (dirs normalized here).
-      bits: [G^3] bool occupancy bits.
+      vals: [G^3] from :func:`occ_values` — sigma-EMA, 0 where
+        unoccupied (bool bits also work: eligibility degrades to plain
+        occupancy).
       key: PRNG for stratified jitter (None = midpoint / VALIDATE).
     """
     r = rays_o.shape[0]
@@ -124,8 +143,20 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     # 1. occupancy of each segment (midpoint lookup, contracted space)
     t_mid = (jnp.arange(n_seg, dtype=jnp.float32) + 0.5) * seg_len
     mid = rays_o[:, None, :] + dirs[:, None, :] * t_mid[None, :, None]
-    occ = jnp.take(bits, _cell_index(contract(mid), cfg.occ_grid_res),
-                   axis=0)                          # [R, n_seg] bool
+    sig = jnp.take(vals.astype(jnp.float32),
+                   _cell_index(contract(mid), cfg.occ_grid_res),
+                   axis=0)                          # [R, n_seg] sigma-EMA
+    occ = sig > 0.0                                 # [R, n_seg] bool
+    if cfg.occ_trans_eps > 0.0:
+        # transmittance-aware eligibility: drop segments behind an
+        # estimated-opaque surface. T_est = exp(-seg_len * cumsum_excl
+        # (sigma)) UNDER-estimates true transmittance (the EMA grid
+        # overestimates sigma), so occ_trans_eps is set well below the
+        # renderer's trans_eps to stay conservative. Spends the fixed
+        # keep-budget on segments that can still contribute.
+        cum_sig = jnp.cumsum(sig, axis=-1) - sig     # exclusive
+        t_est = jnp.exp(-seg_len * cum_sig)
+        occ = jnp.logical_and(occ, t_est > cfg.occ_trans_eps)
 
     # 2. stratified ranks among the M occupied segments: slot j picks
     # occupied-rank floor((j + u) * M / K) — evenly spaced at u=0.5

@@ -160,18 +160,20 @@ def halo_pages(pages: jnp.ndarray, meta: PagedMeta) -> jnp.ndarray:
     return h.reshape(meta.total_pages, meta.n_channels * ROW_PAD)
 
 
-def _page_indices(points: jnp.ndarray, meta: PagedMeta
-                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per (point, level): global page index, in-block local cell coords,
-    trilinear fractions.
+def _page_indices_lm(points: jnp.ndarray, meta: PagedMeta
+                     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per (level, point): global page index, in-block local cell
+    coords, trilinear fractions — LEVEL-MAJOR so each level's slice is
+    a contiguous [N, ...] array (per-level slices of an [N, L, 3]
+    layout turn into slow strided DMAs on TPU).
 
-    Returns (page_idx [N, L] int32, local [N, L, 3] int32 in [0, BLOCK),
-    frac [N, L, 3] float32).
+    Returns (page_idx [L, N] int32, local [L, N, 3] int32 in [0, BLOCK),
+    frac [L, N, 3] float32).
     """
     scales = jnp.asarray(meta.scales)
     biases = jnp.asarray(meta.biases)
-    pt = (points[:, None, :] * scales[None, :, None]
-          + biases[None, :, :])                         # [N, L, 3]
+    pt = (points[None, :, :] * scales[:, None, None]
+          + biases[:, None, :])                         # [L, N, 3]
     f = jnp.floor(pt)
     frac = (pt - f).astype(jnp.float32)
     ip = f.astype(jnp.int32)                            # cell coords
@@ -184,10 +186,19 @@ def _page_indices(points: jnp.ndarray, meta: PagedMeta
     yb = blk[..., 1].astype(jnp.uint32)
     zb = blk[..., 2].astype(jnp.uint32)
     n_pages = jnp.asarray(np.array(meta.n_pages, dtype=np.uint32))
-    raw = xb * a[None, :] + yb * b[None, :] + zb        # wraps mod 2^32
-    page = (raw % n_pages[None, :]).astype(jnp.int32)
+    raw = xb * a[:, None] + yb * b[:, None] + zb        # wraps mod 2^32
+    page = (raw % n_pages[:, None]).astype(jnp.int32)
     offs = jnp.asarray(np.array(meta.page_offset, dtype=np.int32))
-    return page + offs[None, :], local, frac
+    return page + offs[:, None], local, frac
+
+
+def _page_indices(points: jnp.ndarray, meta: PagedMeta
+                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Point-major view of :func:`_page_indices_lm` (page_idx [N, L],
+    local/frac [N, L, 3]) — oracle/test convenience."""
+    page, local, frac = _page_indices_lm(points, meta)
+    return (jnp.swapaxes(page, 0, 1), jnp.swapaxes(local, 0, 1),
+            jnp.swapaxes(frac, 0, 1))
 
 
 def _weight_row(local: jnp.ndarray, frac: jnp.ndarray,
@@ -297,7 +308,7 @@ def _run_onehot(run_id_l: jnp.ndarray, budget: int, dtype) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Per-level row-stream encode core
+# Per-level row-stream encode core (all index arrays LEVEL-MAJOR)
 # ---------------------------------------------------------------------------
 
 
@@ -306,12 +317,11 @@ def _fetch_level(haloed, page_idx, run_id, run_pages, lvl, di, doff,
     """One level's per-sample rows [N, cw]: plain gather, or run gather +
     one-hot MXU expansion when the level is deduped."""
     if not budget:
-        return jnp.take(haloed, page_idx[:, lvl], axis=0)
-    n = page_idx.shape[0]
-    r = n // s_per_ray
+        return jnp.take(haloed, page_idx[lvl], axis=0)
+    n = page_idx.shape[1]
     rp = run_pages[:, doff:doff + budget]                # [R, B]
     rows_d = jnp.take(haloed, rp, axis=0)                # [R, B, cw]
-    onehot = _run_onehot(run_id[:, :, di], budget, haloed.dtype)
+    onehot = _run_onehot(run_id[di], budget, haloed.dtype)
     rows = jax.lax.dot_general(                          # [R, S, cw]
         onehot, rows_d,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))))
@@ -379,19 +389,19 @@ def _encode_core(haloed: jnp.ndarray, page_idx: jnp.ndarray,
     """Level-major encode: per level, gather (or dedup-expand) rows and
     contract against trilinear weights.
 
-    haloed [P, C*128]; page_idx [N, L]; local_frac [N, L, 6] (local as
-    float + frac); run_id [R, S, n_dedup] and run_pages [R, sum(budgets)]
-    (zero-size when nothing is deduped; N = R * s_per_ray otherwise).
-    Returns [N, L*C] float32.
+    haloed [P, C*128]; page_idx [L, N]; local_frac [L, N, 6] (local as
+    float + frac); run_id [n_dedup, R, S] and run_pages
+    [R, sum(budgets)] (zero-size when nothing is deduped; N = R *
+    s_per_ray otherwise). Returns [N, L*C] float32.
     """
-    local = local_frac[..., 0:3].astype(jnp.int32)
-    frac = local_frac[..., 3:6]
     feats = []
     di = doff = 0
     for lvl, b in enumerate(budgets):
         rows_l = _fetch_level(haloed, page_idx, run_id, run_pages, lvl,
                               di, doff, b, s_per_ray)
-        feats.append(_contract_level(rows_l, local[:, lvl], frac[:, lvl],
+        local_l = local_frac[lvl, :, 0:3].astype(jnp.int32)
+        frac_l = local_frac[lvl, :, 3:6]
+        feats.append(_contract_level(rows_l, local_l, frac_l,
                                      n_channels, use_pallas))
         if b:
             di += 1
@@ -411,9 +421,7 @@ def _encode_core_fwd(haloed, page_idx, local_frac, run_id, run_pages,
 def _encode_core_bwd(n_channels, page_layout, use_pallas, budgets,
                      s_per_ray, res, g):
     haloed, page_idx, local_frac, run_id, run_pages = res
-    local = local_frac[..., 0:3].astype(jnp.int32)
-    frac = local_frac[..., 3:6]
-    n = page_idx.shape[0]
+    n = page_idx.shape[1]
     r = n // s_per_ray if s_per_ray else n
 
     d_haloed_parts = []
@@ -422,12 +430,14 @@ def _encode_core_bwd(n_channels, page_layout, use_pallas, budgets,
     for lvl, (off, n_p) in enumerate(page_layout):
         b = budgets[lvl]
         g_l = g[:, lvl * n_channels:(lvl + 1) * n_channels]
-        d_rows_l = _drows_level(g_l, local[:, lvl], frac[:, lvl],
-                                n_channels, use_pallas, haloed.dtype)
+        local_l = local_frac[lvl, :, 0:3].astype(jnp.int32)
+        frac_l = local_frac[lvl, :, 3:6]
+        d_rows_l = _drows_level(g_l, local_l, frac_l, n_channels,
+                                use_pallas, haloed.dtype)
         if b:
             # compress sample cotangents into run cotangents (MXU), then
             # a much smaller deterministic segment_sum
-            onehot = _run_onehot(run_id[:, :, di], b, d_rows_l.dtype)
+            onehot = _run_onehot(run_id[di], b, d_rows_l.dtype)
             d_runs = jax.lax.dot_general(                # [R, B, cw]
                 onehot, d_rows_l.reshape(r, s_per_ray, -1),
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
@@ -440,17 +450,16 @@ def _encode_core_bwd(n_channels, page_layout, use_pallas, budgets,
             doff += b
         else:
             d_haloed_parts.append(jax.ops.segment_sum(
-                d_rows_l.astype(jnp.float32), page_idx[:, lvl] - off,
+                d_rows_l.astype(jnp.float32), page_idx[lvl] - off,
                 num_segments=n_p))
         # point-gradient path (re-fetches rows; DCE'd in training)
         rows_l = _fetch_level(haloed, page_idx, run_id, run_pages, lvl,
                               di - (1 if b else 0), doff - b, b,
                               s_per_ray)
-        d_frac_cols.append(_dfrac_level(rows_l, local[:, lvl],
-                                        frac[:, lvl], g_l, n_channels,
-                                        use_pallas))
+        d_frac_cols.append(_dfrac_level(rows_l, local_l, frac_l, g_l,
+                                        n_channels, use_pallas))
     d_haloed = jnp.concatenate(d_haloed_parts, axis=0)
-    d_frac = jnp.stack(d_frac_cols, axis=1)              # [N, L, 3]
+    d_frac = jnp.stack(d_frac_cols, axis=0)              # [L, N, 3]
     d_local_frac = jnp.concatenate(
         [jnp.zeros_like(d_frac), d_frac], axis=-1)
     return (d_haloed.astype(haloed.dtype), None, d_local_frac, None,
@@ -461,7 +470,7 @@ _encode_core.defvjp(_encode_core_fwd, _encode_core_bwd)
 
 
 def _no_dedup_dummies():
-    return (jnp.zeros((1, 1, 0), jnp.int32), jnp.zeros((1, 0), jnp.int32))
+    return (jnp.zeros((0, 1, 1), jnp.int32), jnp.zeros((1, 0), jnp.int32))
 
 
 def _resolve_pallas(use_pallas):
@@ -499,9 +508,9 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
     budgets = (0,) * l
     run_id, run_pages = _no_dedup_dummies()
 
-    page_idx, local, frac = _page_indices(points, meta)
+    page_idx, local, frac = _page_indices_lm(points, meta)
     local_frac = jnp.concatenate(
-        [local.astype(jnp.float32), frac], axis=-1)      # [N, L, 6]
+        [local.astype(jnp.float32), frac], axis=-1)      # [L, N, 6]
 
     if use_pallas:
         from f2nerf_tpu.kernels.trilinear import TILE
@@ -511,8 +520,8 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
     if n <= chunk:
         pad = (-n) % tile
         if pad:
-            page_idx = jnp.pad(page_idx, ((0, pad), (0, 0)))
-            local_frac = jnp.pad(local_frac, ((0, pad), (0, 0), (0, 0)))
+            page_idx = jnp.pad(page_idx, ((0, 0), (0, pad)))
+            local_frac = jnp.pad(local_frac, ((0, 0), (0, pad), (0, 0)))
         feat = _encode_core(haloed, page_idx, local_frac, run_id,
                             run_pages, c, layout, use_pallas, budgets, 0)
         return feat[:n]
@@ -520,8 +529,8 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
     chunk = max(tile, chunk - chunk % tile)
     pad = (-n) % chunk
     if pad:
-        page_idx = jnp.pad(page_idx, ((0, pad), (0, 0)))
-        local_frac = jnp.pad(local_frac, ((0, pad), (0, 0), (0, 0)))
+        page_idx = jnp.pad(page_idx, ((0, 0), (0, pad)))
+        local_frac = jnp.pad(local_frac, ((0, 0), (0, pad), (0, 0)))
     n_chunks = (n + pad) // chunk
 
     def chunk_fn(args):
@@ -530,8 +539,9 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
                             layout, use_pallas, budgets, 0)
 
     feat = jax.lax.map(
-        chunk_fn, (page_idx.reshape(n_chunks, chunk, l),
-                   local_frac.reshape(n_chunks, chunk, l, 6)))
+        chunk_fn,
+        (page_idx.reshape(l, n_chunks, chunk).swapaxes(0, 1),
+         local_frac.reshape(l, n_chunks, chunk, 6).swapaxes(0, 1)))
     return feat.reshape(n + pad, l * c)[:n]
 
 
@@ -564,16 +574,17 @@ def paged_encode_rays(points: jnp.ndarray, pages: jnp.ndarray,
     # index math on the full batch (identical shapes — and therefore
     # identical XLA FMA fusion — to the flat path, keeping dedup
     # bitwise-equal to it regardless of chunking)
-    page_idx, local, frac = _page_indices(points.reshape(r * s, 3), meta)
+    page_idx, local, frac = _page_indices_lm(points.reshape(r * s, 3),
+                                             meta)
     local_frac = jnp.concatenate(
-        [local.astype(jnp.float32), frac], axis=-1)      # [R*S, L, 6]
+        [local.astype(jnp.float32), frac], axis=-1)      # [L, R*S, 6]
     rid_cols, rp_cols = [], []
     for lvl in dedup_lvls:
-        rid, rp = compute_runs(page_idx.reshape(r, s, l)[:, :, lvl],
+        rid, rp = compute_runs(page_idx[lvl].reshape(r, s),
                                budgets[lvl], fill=meta.page_offset[lvl])
         rid_cols.append(rid)
         rp_cols.append(rp)
-    run_id = jnp.stack(rid_cols, axis=-1)                # [R, S, Ld]
+    run_id = jnp.stack(rid_cols, axis=0)                 # [Ld, R, S]
     run_pages = jnp.concatenate(rp_cols, axis=-1)        # [R, sumB]
 
     # rays per chunk: bound fetched-rows memory AND satisfy the pallas
@@ -589,30 +600,37 @@ def paged_encode_rays(points: jnp.ndarray, pages: jnp.ndarray,
 
     def encode_chunk(args):
         pi, lf, rid, rp = args
-        rc = rid.shape[0]
-        return _encode_core(haloed, pi.reshape(rc * s, l),
-                            lf.reshape(rc * s, l, 6), rid, rp, c,
+        rc = rid.shape[1]
+        return _encode_core(haloed, pi.reshape(l, rc * s),
+                            lf.reshape(l, rc * s, 6), rid, rp, c,
                             layout, use_pallas, budgets, s)
 
-    page_idx = page_idx.reshape(r, s, l)
-    local_frac = local_frac.reshape(r, s, l, 6)
+    page_idx = page_idx.reshape(l, r, s)
+    local_frac = local_frac.reshape(l, r, s, 6)
     pad = (-r) % (tile_rays if r <= chunk_rays else chunk_rays)
 
-    def padr(x):
-        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
-            if pad else x
+    def padr(x, axis):
+        if not pad:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
 
     if r <= chunk_rays:
-        feat = encode_chunk((padr(page_idx), padr(local_frac),
-                             padr(run_id), padr(run_pages)))
+        feat = encode_chunk((padr(page_idx, 1), padr(local_frac, 1),
+                             padr(run_id, 1), padr(run_pages, 0)))
         return feat.reshape(r + pad, s, l * c)[:r]
 
     n_chunks = (r + pad) // chunk_rays
 
-    def reshard(x):
-        return padr(x).reshape((n_chunks, chunk_rays) + x.shape[1:])
+    def reshard(x, axis):
+        x = padr(x, axis)
+        shape = (x.shape[:axis] + (n_chunks, chunk_rays)
+                 + x.shape[axis + 1:])
+        x = x.reshape(shape)
+        return jnp.moveaxis(x, axis, 0)
 
     feat = jax.lax.map(
-        encode_chunk, (reshard(page_idx), reshard(local_frac),
-                       reshard(run_id), reshard(run_pages)))
+        encode_chunk, (reshard(page_idx, 1), reshard(local_frac, 1),
+                       reshard(run_id, 1), reshard(run_pages, 0)))
     return feat.reshape(r + pad, s, l * c)[:r]

@@ -205,7 +205,8 @@ class Trainer:
         from f2nerf_tpu.models import occupancy
         if self.cfg.model.sampler_mode != "occ":
             return None
-        return occupancy.occupancy_bits(self.occ_grid, self.cfg.model)
+        return occupancy.occ_values(self.occ_grid, self.cfg.model,
+                                    warmup=self.step < self.cfg.model.occ_warmup_steps)
 
     def _vis(self) -> None:
         if self.result_dir is None:

@@ -110,10 +110,10 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
             occ_grid = jax.lax.cond(
                 step % cfg.model.occ_update_every == 0,
                 refresh, lambda g: g, occ_grid)
-            occ_bits = occupancy.occupancy_bits(occ_grid, cfg.model)
-            # uniform sampling during warmup (see occ_warmup_steps)
-            occ_bits = jnp.logical_or(
-                occ_bits, step < cfg.model.occ_warmup_steps)
+            # sigma-valued occupancy; warmup forces everything occupied
+            occ_bits = occupancy.occ_values(
+                occ_grid, cfg.model,
+                warmup=step < cfg.model.occ_warmup_steps)
         else:
             occ_bits = None
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -120,3 +120,62 @@ class TestOccupancySampler:
             16, 16, 16)
         assert bits[8, 8, 8]          # center occupied
         assert not bits[0, 0, 0]      # far corner pruned
+
+
+class TestTransAwareEligibility:
+    def _cfg(self, **kw):
+        import dataclasses
+        from f2nerf_tpu.core.config import ModelConfig
+        return ModelConfig(
+            n_levels=2, n_channels=2, log2_table_size=10,
+            n_samples=32, sample_l=1.0 / 8.0, sampler_mode="occ",
+            occ_grid_res=16, occ_segments=16, occ_keep=4,
+            occ_samples_per_segment=2, **kw)
+
+    def test_occ_values_zero_where_unoccupied(self):
+        cfg = self._cfg()
+        g = cfg.occ_grid_res
+        thresh = occupancy.sigma_threshold(cfg)
+        grid = jnp.zeros((g, g, g)).at[0, 0, 0].set(100.0 * thresh)
+        vals = np.asarray(occupancy.occ_values(grid, cfg))
+        assert vals[0] > 0
+        assert (vals[1:] == 0).all()
+        # warmup forces everything occupied
+        vals_w = np.asarray(occupancy.occ_values(grid, cfg, warmup=True))
+        assert (vals_w > 0).all()
+
+    def test_opaque_slab_prunes_segments_behind(self):
+        """With sigma-valued occupancy and occ_trans_eps, segments behind
+        an estimated-opaque surface are ineligible, so the keep budget
+        concentrates in front of / at the surface."""
+        cfg = self._cfg(occ_trans_eps=1e-6)
+        g = cfg.occ_grid_res
+        grid = np.full((g, g, g), 1e5, np.float32)  # everything opaque
+        vals = jnp.asarray(grid.reshape(-1))
+        o = jnp.zeros((1, 3))
+        d = jnp.asarray([[0.0, 0.0, -1.0]])
+        s = occupancy.sample_rays_occ(o, d, vals, cfg, key=None)
+        # only the first couple of segments stay eligible; the rest of
+        # the keep slots go invalid
+        t_valid = np.asarray(s.t[0])[np.asarray(s.valid[0])]
+        march = cfg.n_samples * cfg.sample_l
+        seg_len = march / cfg.occ_segments
+        assert t_valid.size < cfg.occ_keep * cfg.occ_samples_per_segment
+        assert (t_valid < 3 * seg_len).all()
+
+    def test_eps_zero_matches_bool_bits(self, rng):
+        """occ_trans_eps=0 with sigma values selects exactly the same
+        segments as boolean bits."""
+        cfg = self._cfg(occ_trans_eps=0.0)
+        g = cfg.occ_grid_res
+        occ = rng.random((g, g, g)) < 0.5
+        sig = np.where(occ, 3.0, 0.0).astype(np.float32)
+        o = jnp.asarray(rng.uniform(-0.2, 0.2, (8, 3)).astype(np.float32))
+        d = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+        a = occupancy.sample_rays_occ(o, d, jnp.asarray(occ.reshape(-1)),
+                                      cfg, key=None)
+        b = occupancy.sample_rays_occ(o, d, jnp.asarray(sig.reshape(-1)),
+                                      cfg, key=None)
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
