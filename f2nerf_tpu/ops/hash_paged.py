@@ -445,13 +445,22 @@ def _encode_core_bwd(n_channels, page_layout, use_pallas, budgets,
             rp = run_pages[:, doff:doff + b]
             d_haloed_parts.append(jax.ops.segment_sum(
                 d_runs.reshape(r * b, -1), (rp - off).reshape(-1),
-                num_segments=n_p))
+                num_segments=n_p).astype(haloed.dtype))
             di += 1
             doff += b
         else:
+            # On TPU, accumulate page cotangents in the compute dtype:
+            # the across-chunk scan already sums them in haloed.dtype,
+            # and bf16 keeps f32's exponent range (no loss-scaling
+            # needed, unlike the reference's fp16 atomics at
+            # src/hash_3d_anchored.cu:190-215) while halving the
+            # segment_sum's bandwidth. On CPU an emulated-bf16 scatter
+            # is pathologically slow (stalls the virtual-device mesh's
+            # collectives), so accumulate f32 there; fp32 mode is
+            # exact everywhere.
+            acc = d_rows_l if use_pallas else d_rows_l.astype(jnp.float32)
             d_haloed_parts.append(jax.ops.segment_sum(
-                d_rows_l.astype(jnp.float32), page_idx[lvl] - off,
-                num_segments=n_p))
+                acc, page_idx[lvl] - off, num_segments=n_p))
         # point-gradient path (re-fetches rows; DCE'd in training)
         rows_l = _fetch_level(haloed, page_idx, run_id, run_pages, lvl,
                               di - (1 if b else 0), doff - b, b,
