@@ -38,6 +38,16 @@ from f2nerf_tpu.ops.contraction import contract
 
 DOMAIN = 2.0  # contracted coords live in [-DOMAIN, DOMAIN)
 
+# ceiling for the sigma-EMA: the field's TruncExp density is unbounded
+# (exp overflows to inf for raw outputs > ~88, which Adam's high-LR
+# phase can transiently produce), and a max-EMA keeps inf FOREVER
+# (inf * decay == inf). An inf cell is fatal with transmittance-aware
+# eligibility (estimated transmittance 0 behind it pins every ray's
+# sample budget to its first segment — observed as a permanent
+# PSNR-collapse death spiral). 1e4 is opaque for any practical segment
+# length yet decays below threshold in ~35 refreshes.
+SIGMA_EMA_MAX = 1.0e4
+
 
 class OccSamples(NamedTuple):
     pts: jnp.ndarray    # [R, S, 3]
@@ -115,6 +125,10 @@ def update_grid(grid: jnp.ndarray, density_fn, key: jax.Array,
                .reshape(-1, 3).astype(jnp.float32) + 0.5) * cell - DOMAIN
     jitter = (jax.random.uniform(key, centers.shape) - 0.5) * cell
     sigma = density_fn(centers + jitter)
+    # clamp non-finite / exploded densities so transients DECAY instead
+    # of pinning the max-EMA at inf (see SIGMA_EMA_MAX)
+    sigma = jnp.where(jnp.isfinite(sigma), sigma, SIGMA_EMA_MAX)
+    sigma = jnp.minimum(sigma, SIGMA_EMA_MAX)
     return jnp.maximum(grid * cfg.occ_decay,
                        sigma.reshape(g, g, g))
 
@@ -146,6 +160,7 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     sig = jnp.take(vals.astype(jnp.float32),
                    _cell_index(contract(mid), cfg.occ_grid_res),
                    axis=0)                          # [R, n_seg] sigma-EMA
+    sig = jnp.minimum(sig, SIGMA_EMA_MAX)   # guard legacy/inf grids
     occ = sig > 0.0                                 # [R, n_seg] bool
     if cfg.occ_trans_eps > 0.0:
         # transmittance-aware eligibility: drop segments behind an

@@ -179,3 +179,38 @@ class TestTransAwareEligibility:
         np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
         np.testing.assert_array_equal(np.asarray(a.valid),
                                       np.asarray(b.valid))
+
+    def test_grid_update_clamps_exploded_density(self):
+        """An unbounded TruncExp density can return inf; the max-EMA
+        must clamp it (inf * decay == inf would otherwise pin the cell
+        opaque forever and, with occ_trans_eps, starve every ray behind
+        it — the death spiral found in the 8k-step checker run)."""
+        cfg = self._cfg(occ_trans_eps=1e-6)
+        grid = occupancy.init_grid(cfg)
+
+        def exploding(p):
+            return jnp.full(p.shape[0], jnp.inf)
+
+        grid = occupancy.update_grid(grid, exploding, jax.random.key(0),
+                                     cfg)
+        assert np.isfinite(np.asarray(grid)).all()
+        assert float(grid.max()) <= occupancy.SIGMA_EMA_MAX
+        # and it decays back below threshold once density normalizes
+        for i in range(60):
+            grid = occupancy.update_grid(
+                grid, lambda p: jnp.zeros(p.shape[0]),
+                jax.random.key(i), cfg)
+        thr = occupancy.sigma_threshold(cfg)
+        assert float(grid.max()) < thr
+
+    def test_sampler_survives_inf_vals(self):
+        """Legacy checkpoints may carry inf cells; the sampler must
+        still produce finite eligibility."""
+        cfg = self._cfg(occ_trans_eps=1e-6)
+        g = cfg.occ_grid_res
+        vals = jnp.full((g * g * g,), jnp.inf)
+        o = jnp.zeros((2, 3))
+        d = jnp.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        s = occupancy.sample_rays_occ(o, d, vals, cfg, key=None)
+        assert bool(jnp.isfinite(s.pts).all())
+        assert bool(s.valid[:, 0].all())   # first segment stays eligible
