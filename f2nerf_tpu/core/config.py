@@ -93,6 +93,13 @@ class ModelConfig:
     # Conservative vs trans_eps because the EMA overestimates sigma.
     # 0 disables (plain occupancy).
     occ_trans_eps: float = 1e-6
+    # per-segment optical-depth cap for the eligibility estimate: one
+    # segment multiplies T_est by at least exp(-cap), so cutting needs
+    # ln(1/occ_trans_eps)/cap consecutive opaque segments — a single
+    # exploded cell cannot starve a ray
+    occ_elig_tau_cap: float = 4.6
+    # EMA rate of the mean-sigma channel (eligibility estimate)
+    occ_mean_ema: float = 0.25
 
     # Renderer
     trans_eps: float = 1e-4         # early-stop transmittance, src/renderer.cpp:65
@@ -140,6 +147,8 @@ class TrainConfig:
     var_loss_weight: float = 1e-2
     var_loss_start: int = 5000
     var_loss_end: int = 10000
+    # global-norm gradient clip; 0 disables (the reference has none)
+    grad_clip_norm: float = 0.0
     seed: int = 2022                # reference main.cpp:11
     ray_batch_size: int = 8192      # vis render chunk, train_manager.cpp:117
 

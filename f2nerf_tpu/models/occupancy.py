@@ -58,11 +58,22 @@ class OccSamples(NamedTuple):
 
 
 def init_grid(cfg: ModelConfig) -> jnp.ndarray:
-    """EMA grid, initialized comfortably above the occupancy threshold
-    so training starts fully occupied (decays in ~8 refreshes without
-    density support)."""
+    """Two-channel density grid [2, G, G, G]:
+
+    * channel 0 — **max**-EMA, the occupancy decision (initialized
+      comfortably above the threshold so training starts fully
+      occupied; decays in ~8 refreshes without density support);
+    * channel 1 — **mean**-EMA, the transmittance-eligibility estimate.
+      A max-EMA is the wrong statistic there: a cell containing a thin
+      sharp surface stores the surface's huge sigma and reads as fully
+      opaque, and the bias grows as training sharpens (observed as a
+      slow PSNR decay after the quality peak). The mean over jittered
+      cell samples estimates the cell's EXPECTED optical depth.
+      Initialized 0 = no cuts until real densities arrive.
+    """
     g = cfg.occ_grid_res
-    return jnp.full((g, g, g), 4.0 * sigma_threshold(cfg), jnp.float32)
+    gmax = jnp.full((g, g, g), 4.0 * sigma_threshold(cfg), jnp.float32)
+    return jnp.stack([gmax, jnp.zeros((g, g, g), jnp.float32)])
 
 
 def _cell_index(pts: jnp.ndarray, g: int) -> jnp.ndarray:
@@ -87,26 +98,28 @@ def occupancy_bits(grid: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     occupied while the field is still near its uniform init (density
     ~exp(-shift) << threshold), avoiding a prune-before-training death
     spiral."""
-    thresh = jnp.minimum(sigma_threshold(cfg), jnp.mean(grid))
+    gmax = grid[0] if grid.ndim == 4 else grid
+    thresh = jnp.minimum(sigma_threshold(cfg), jnp.mean(gmax))
     # 0.999: a uniform grid must compare >= its own (rounded) mean
-    return (grid >= thresh * 0.999).reshape(-1)
+    return (gmax >= thresh * 0.999).reshape(-1)
 
 
 def occ_values(grid: jnp.ndarray, cfg: ModelConfig,
                warmup=False) -> jnp.ndarray:
-    """[G^3] per-cell sigma-EMA, zeroed where unoccupied.
-
-    One array carries both the occupancy decision (value > 0) and the
-    density estimate the sampler uses for transmittance-aware segment
-    eligibility (skip segments behind an estimated-opaque surface —
-    cfg.occ_trans_eps). `warmup` forces everything occupied with the
-    threshold density (cheap bootstrap before the field differentiates).
-    """
-    occ = occupancy_bits(grid, cfg).reshape(grid.shape)
-    vals = jnp.where(occ, jnp.maximum(grid, 1e-12), 0.0)
+    """[2, G^3]: channel 0 carries the occupancy decision (max-EMA where
+    occupied, 0 elsewhere), channel 1 the mean-EMA sigma the sampler
+    uses for transmittance-aware segment eligibility
+    (cfg.occ_trans_eps). `warmup` forces everything occupied with the
+    threshold density (cheap bootstrap before the field
+    differentiates)."""
+    gmax = grid[0] if grid.ndim == 4 else grid
+    gmean = grid[1] if grid.ndim == 4 else grid
+    occ = occupancy_bits(grid, cfg).reshape(gmax.shape)
+    vals = jnp.where(occ, jnp.maximum(gmax, 1e-12), 0.0)
     vals = jnp.where(warmup,
                      jnp.maximum(vals, sigma_threshold(cfg)), vals)
-    return vals.reshape(-1)
+    return jnp.stack([vals.reshape(-1),
+                      jnp.minimum(gmean, SIGMA_EMA_MAX).reshape(-1)])
 
 
 def update_grid(grid: jnp.ndarray, density_fn, key: jax.Array,
@@ -128,9 +141,14 @@ def update_grid(grid: jnp.ndarray, density_fn, key: jax.Array,
     # clamp non-finite / exploded densities so transients DECAY instead
     # of pinning the max-EMA at inf (see SIGMA_EMA_MAX)
     sigma = jnp.where(jnp.isfinite(sigma), sigma, SIGMA_EMA_MAX)
-    sigma = jnp.minimum(sigma, SIGMA_EMA_MAX)
-    return jnp.maximum(grid * cfg.occ_decay,
-                       sigma.reshape(g, g, g))
+    sigma = jnp.minimum(sigma, SIGMA_EMA_MAX).reshape(g, g, g)
+    gmax = grid[0] if grid.ndim == 4 else grid
+    new_max = jnp.maximum(gmax * cfg.occ_decay, sigma)
+    if grid.ndim != 4:          # legacy single-channel grid
+        return new_max
+    a = cfg.occ_mean_ema
+    new_mean = grid[1] * (1.0 - a) + sigma * a
+    return jnp.stack([new_max, new_mean])
 
 
 def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -154,24 +172,34 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
+    if vals.ndim == 2:          # [2, G^3] from occ_values
+        occ_src = vals[0].astype(jnp.float32)
+        elig_src = vals[1].astype(jnp.float32)
+    else:                       # legacy single channel / bool bits
+        occ_src = elig_src = vals.astype(jnp.float32)
+
     # 1. occupancy of each segment (midpoint lookup, contracted space)
     t_mid = (jnp.arange(n_seg, dtype=jnp.float32) + 0.5) * seg_len
     mid = rays_o[:, None, :] + dirs[:, None, :] * t_mid[None, :, None]
-    sig = jnp.take(vals.astype(jnp.float32),
-                   _cell_index(contract(mid), cfg.occ_grid_res),
-                   axis=0)                          # [R, n_seg] sigma-EMA
-    sig = jnp.minimum(sig, SIGMA_EMA_MAX)   # guard legacy/inf grids
-    occ = sig > 0.0                                 # [R, n_seg] bool
+    cell = _cell_index(contract(mid), cfg.occ_grid_res)  # [R, n_seg]
+    occ = jnp.take(occ_src, cell, axis=0) > 0.0     # [R, n_seg] bool
     if cfg.occ_trans_eps > 0.0:
         # transmittance-aware eligibility: drop segments behind an
-        # estimated-opaque surface. T_est = exp(-seg_len * cumsum_excl
-        # (sigma)) UNDER-estimates true transmittance (the EMA grid
-        # overestimates sigma), so occ_trans_eps is set well below the
-        # renderer's trans_eps to stay conservative. Spends the fixed
-        # keep-budget on segments that can still contribute.
-        cum_sig = jnp.cumsum(sig, axis=-1) - sig     # exclusive
-        t_est = jnp.exp(-seg_len * cum_sig)
-        occ = jnp.logical_and(occ, t_est > cfg.occ_trans_eps)
+        # estimated-opaque surface, T_est = exp(-cumsum_excl(tau)) from
+        # the MEAN-sigma channel (expected optical depth; the max
+        # channel would treat any cell containing a thin surface as
+        # fully opaque). Each segment's contribution is additionally
+        # capped (occ_elig_tau_cap) so a single cell — even one pinned
+        # at the sigma ceiling during the high-LR phase — can never
+        # cut a ray by itself; cutting needs ln(1/eps)/tau_cap (~3)
+        # consecutive opaque segments. Spends the fixed keep-budget on
+        # segments that can still contribute.
+        sig = jnp.minimum(jnp.take(elig_src, cell, axis=0),
+                          SIGMA_EMA_MAX)
+        tau = jnp.minimum(sig * seg_len, cfg.occ_elig_tau_cap)
+        cum_tau = jnp.cumsum(tau, axis=-1) - tau     # exclusive
+        occ = jnp.logical_and(occ, jnp.exp(-cum_tau)
+                              > cfg.occ_trans_eps)
 
     # 2. stratified ranks among the M occupied segments: slot j picks
     # occupied-rank floor((j + u) * M / K) — evenly spaced at u=0.5

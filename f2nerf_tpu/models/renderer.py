@@ -31,6 +31,7 @@ class RenderResult(NamedTuple):
     depths: jnp.ndarray   # [R]
     weights: jnp.ndarray  # [R, S] (zero outside the keep mask)
     mask: jnp.ndarray     # [R, S] bool keep mask
+    t: jnp.ndarray        # [R, S] sample distances (for spatial losses)
 
 
 def init(key: jax.Array, cfg: ModelConfig, n_images: int,
@@ -112,10 +113,14 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
     dirs = jnp.broadcast_to(smp.dirs[:, None, :], (r, s, 3))
     colors = sh_shader.query(params["shader"], shading_feat, dirs, cfg)
 
-    sec_density = sigma * smp.dt                                # [R, S]
+    # where(dt > 0, ...) rather than a bare product: the TruncExp
+    # density is unbounded and inf * 0 (dt_0 = 0 / invalid samples)
+    # would inject NaN into the compositing cumsum
+    sec_density = jnp.where(smp.dt > 0.0, sigma * smp.dt, 0.0)  # [R, S]
     rgb, depth, weights, mask = composite(
         sec_density, colors, smp.t, bg_color, cfg.trans_eps)
-    return RenderResult(colors=rgb, depths=depth, weights=weights, mask=mask)
+    return RenderResult(colors=rgb, depths=depth, weights=weights,
+                        mask=mask, t=smp.t)
 
 
 import functools

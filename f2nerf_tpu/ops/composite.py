@@ -83,23 +83,31 @@ def composite(sec_density: jnp.ndarray, colors: jnp.ndarray,
 
 
 def weight_variance(weights: jnp.ndarray, mask: jnp.ndarray,
-                    scale: float = 16.0) -> jnp.ndarray:
+                    scale: float = 16.0,
+                    pos: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-ray variance of the sample-weight distribution.
 
     Distortion-style regularizer, reference src/CustomOps/CustomOps.cu:13-67
-    (WeightVarLoss): positions are i/SCALE for the i-th *kept* sample; the
-    keep mask is a prefix, so position index == sample index here.
+    (WeightVarLoss): positions are i/SCALE for the i-th *kept* sample of
+    the reference's UNIFORM march — i.e. spatial position t/(step*SCALE).
+    Pass ``pos`` (e.g. t / (sample_l * SCALE)) for samplers whose slot
+    index is not proportional to distance (the occupancy sampler skips
+    space between kept segments; index-space variance there is
+    spatially meaningless). Defaults to i/SCALE (exact reference
+    semantics for the dense sampler and the numpy oracle).
 
     Args:
       weights: [R, S] compositing weights (zero outside mask).
       mask: [R, S] keep mask.
       scale: SCALE=16 position divisor.
+      pos: optional [R, S] sample positions overriding i/scale.
 
     Returns:
       [R] per-ray variance.
     """
     s = weights.shape[-1]
-    pos = (jnp.arange(s, dtype=jnp.float32) / scale)[None, :]   # [1, S]
+    if pos is None:
+        pos = (jnp.arange(s, dtype=jnp.float32) / scale)[None, :]
     w = weights * mask
     weight_sum = jnp.sum(w, axis=-1) + 1e-6
     mean = jnp.sum(w * pos, axis=-1) / weight_sum

@@ -51,8 +51,15 @@ def _wd_mask(params: Any) -> Any:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
+    steps = []
+    if cfg.grad_clip_norm > 0.0:
+        # net-new vs the reference (which has no clipping): a guard for
+        # the edge-of-stability oscillation large-batch runs can hit in
+        # the sustained high-LR phase
+        steps.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    steps += [
         optax.masked(optax.add_decayed_weights(1e-6), _wd_mask),
         optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
         optax.scale_by_learning_rate(lr_schedule(cfg)),
-    )
+    ]
+    return optax.chain(*steps)

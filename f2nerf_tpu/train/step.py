@@ -62,8 +62,12 @@ def make_loss_fn(cfg: Config, encode_fn=None):
         # Charbonnier color loss (train_manager.cpp:78)
         color_loss = jnp.mean(
             jnp.sqrt((res.colors - gt) ** 2 + 1e-4))
-        # Weight-variance loss (train_manager.cpp:80-84)
-        var = weight_variance(res.weights, res.mask)
+        # Weight-variance loss (train_manager.cpp:80-84); spatial
+        # positions t/(sample_l*16) == the reference's i/16 for its
+        # uniform march, and the spatially-correct generalization for
+        # the occupancy sampler (slot index != distance there)
+        var = weight_variance(res.weights, res.mask,
+                              pos=res.t / (cfg.model.sample_l * 16.0))
         var_loss = jnp.mean(jnp.sqrt(var + 1e-2))
         w = var_loss_weight(step, cfg)
         loss = color_loss + var_loss * w

@@ -104,3 +104,25 @@ class TestRender:
         assert g.shape == (3, 4)
         assert bool(jnp.isfinite(g).all())
         assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_infinite_density_does_not_nan(tiny_cfg, rng):
+    """TruncExp density can overflow to inf at extreme params; samples
+    with dt == 0 (the dt_0 = 0 convention / invalid occ slots) must not
+    turn inf * 0 into NaN in the compositing chain."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from f2nerf_tpu.models import renderer as rnd
+    cfg = tiny_cfg.model
+    key = jax.random.key(0)
+    params, consts = rnd.init(key, cfg, n_images=2)
+    # blow up the density head so sigma = exp(raw) overflows
+    params["field"]["mlp"]["w"] = params["field"]["mlp"]["w"] * 0.0
+    params["field"]["mlp"]["b"] = params["field"]["mlp"]["b"].at[0].set(
+        1e4)
+    o = jnp.zeros((4, 3))
+    d = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    res = rnd.render(params, consts, o, d, None, cfg, None, train=False)
+    assert bool(jnp.isfinite(res.colors).all())
+    assert bool(jnp.isfinite(res.depths).all())

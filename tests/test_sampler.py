@@ -136,13 +136,16 @@ class TestTransAwareEligibility:
         cfg = self._cfg()
         g = cfg.occ_grid_res
         thresh = occupancy.sigma_threshold(cfg)
-        grid = jnp.zeros((g, g, g)).at[0, 0, 0].set(100.0 * thresh)
+        grid = occupancy.init_grid(cfg) * 0.0
+        grid = grid.at[:, 0, 0, 0].set(100.0 * thresh)
         vals = np.asarray(occupancy.occ_values(grid, cfg))
-        assert vals[0] > 0
-        assert (vals[1:] == 0).all()
+        assert vals.shape == (2, g ** 3)
+        assert vals[0, 0] > 0          # occupancy channel
+        assert (vals[0, 1:] == 0).all()
+        assert vals[1, 0] > 0          # mean-sigma eligibility channel
         # warmup forces everything occupied
         vals_w = np.asarray(occupancy.occ_values(grid, cfg, warmup=True))
-        assert (vals_w > 0).all()
+        assert (vals_w[0] > 0).all()
 
     def test_opaque_slab_prunes_segments_behind(self):
         """With sigma-valued occupancy and occ_trans_eps, segments behind
@@ -155,13 +158,17 @@ class TestTransAwareEligibility:
         o = jnp.zeros((1, 3))
         d = jnp.asarray([[0.0, 0.0, -1.0]])
         s = occupancy.sample_rays_occ(o, d, vals, cfg, key=None)
-        # only the first couple of segments stay eligible; the rest of
-        # the keep slots go invalid
+        # with the per-segment tau cap, cutting needs
+        # ln(1/eps)/tau_cap ~ 3 opaque segments of cumulative depth, so
+        # the first ceil(13.8/4.6)+1 = 4 segments stay eligible and ALL
+        # samples land there (no single-cell starvation)
         t_valid = np.asarray(s.t[0])[np.asarray(s.valid[0])]
         march = cfg.n_samples * cfg.sample_l
         seg_len = march / cfg.occ_segments
-        assert t_valid.size < cfg.occ_keep * cfg.occ_samples_per_segment
-        assert (t_valid < 3 * seg_len).all()
+        n_elig = int(np.floor(np.log(1.0 / cfg.occ_trans_eps)
+                              / cfg.occ_elig_tau_cap)) + 1
+        assert (t_valid < n_elig * seg_len).all()
+        assert t_valid.size > 0
 
     def test_eps_zero_matches_bool_bits(self, rng):
         """occ_trans_eps=0 with sigma values selects exactly the same
