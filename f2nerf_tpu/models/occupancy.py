@@ -172,17 +172,17 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
-    if vals.ndim == 2:          # [2, G^3] from occ_values
-        occ_src = vals[0].astype(jnp.float32)
-        elig_src = vals[1].astype(jnp.float32)
-    else:                       # legacy single channel / bool bits
-        occ_src = elig_src = vals.astype(jnp.float32)
-
     # 1. occupancy of each segment (midpoint lookup, contracted space)
     t_mid = (jnp.arange(n_seg, dtype=jnp.float32) + 0.5) * seg_len
     mid = rays_o[:, None, :] + dirs[:, None, :] * t_mid[None, :, None]
     cell = _cell_index(contract(mid), cfg.occ_grid_res)  # [R, n_seg]
-    occ = jnp.take(occ_src, cell, axis=0) > 0.0     # [R, n_seg] bool
+    if vals.ndim == 2:          # [2, G^3] from occ_values — one gather
+        both = jnp.take(vals.astype(jnp.float32), cell, axis=1)
+        occ_seg, elig_seg = both[0], both[1]
+    else:                       # legacy single channel / bool bits
+        occ_seg = elig_seg = jnp.take(vals.astype(jnp.float32), cell,
+                                      axis=0)
+    occ = occ_seg > 0.0                             # [R, n_seg] bool
     if cfg.occ_trans_eps > 0.0:
         # transmittance-aware eligibility: drop segments behind an
         # estimated-opaque surface, T_est = exp(-cumsum_excl(tau)) from
@@ -194,8 +194,7 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         # cut a ray by itself; cutting needs ln(1/eps)/tau_cap (~3)
         # consecutive opaque segments. Spends the fixed keep-budget on
         # segments that can still contribute.
-        sig = jnp.minimum(jnp.take(elig_src, cell, axis=0),
-                          SIGMA_EMA_MAX)
+        sig = jnp.minimum(elig_seg, SIGMA_EMA_MAX)
         tau = jnp.minimum(sig * seg_len, cfg.occ_elig_tau_cap)
         cum_tau = jnp.cumsum(tau, axis=-1) - tau     # exclusive
         occ = jnp.logical_and(occ, jnp.exp(-cum_tau)
