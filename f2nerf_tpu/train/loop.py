@@ -119,15 +119,30 @@ class Trainer:
         step = ckpt_lib.latest_step(self.result_dir / "checkpoints")
         if step is None:
             return False
-        state = ckpt_lib.restore(
-            self.result_dir / "checkpoints",
-            {"params": self.params, "opt_state": self.opt_state,
-             "consts": self.consts, "step": 0,
-             "extra": {"occ_grid": self.occ_grid}})
+        template = {"params": self.params, "opt_state": self.opt_state,
+                    "consts": self.consts, "step": 0,
+                    "extra": {"occ_grid": self.occ_grid}}
+        try:
+            state = ckpt_lib.restore(self.result_dir / "checkpoints",
+                                     template)
+        except ValueError:
+            # checkpoints written before the two-channel occupancy grid
+            # store a [G,G,G] max-EMA only — retry with that shape
+            template["extra"]["occ_grid"] = self.occ_grid[0]
+            state = ckpt_lib.restore(self.result_dir / "checkpoints",
+                                     template)
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.consts = state["consts"]
-        self.occ_grid = state["extra"]["occ_grid"]
+        occ_grid = state["extra"]["occ_grid"]
+        if occ_grid.ndim == 3:
+            # legacy single-channel (max-EMA) grid: add an empty
+            # mean-sigma eligibility channel (it re-learns within a few
+            # occ refreshes; 0 = no eligibility cuts meanwhile)
+            import jax.numpy as jnp
+            occ_grid = jnp.stack([occ_grid,
+                                  jnp.zeros_like(occ_grid)])
+        self.occ_grid = occ_grid
         self.step = int(state["step"])
         return True
 

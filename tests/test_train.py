@@ -133,3 +133,22 @@ class TestExtras:
                      profile_steps=(2, 4))
         tr.run(6)
         assert list((tmp_path / "prof").rglob("*"))  # trace files exist
+
+
+def test_resume_upgrades_legacy_occ_grid(occ_cfg, sphere_ds, tmp_path):
+    """Checkpoints written before the two-channel occupancy grid carry a
+    [G,G,G] max-EMA only; resume must upgrade them (zero mean channel)
+    so training continues with the current code."""
+    import jax.numpy as jnp
+    from f2nerf_tpu.models import occupancy
+    from f2nerf_tpu.train.loop import Trainer
+    tr = Trainer(occ_cfg, sphere_ds, result_dir=tmp_path)
+    tr.run(6)
+    tr.occ_grid = tr.occ_grid[0]     # simulate a legacy checkpoint
+    tr.save_checkpoint()
+    tr2 = Trainer(occ_cfg, sphere_ds, result_dir=tmp_path)
+    assert tr2.try_resume()
+    assert tr2.occ_grid.ndim == 4 and tr2.occ_grid.shape[0] == 2
+    assert bool(jnp.all(tr2.occ_grid[1] == 0.0))
+    tr2.run(3)                       # continues cleanly
+    assert tr2.step == 9
