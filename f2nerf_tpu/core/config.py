@@ -147,6 +147,12 @@ class TrainConfig:
     var_loss_weight: float = 1e-2
     var_loss_start: int = 5000
     var_loss_end: int = 10000
+    # 'weight_var' = the reference's unnormalized weight variance
+    # (CustomOps.cu:13-36); 'distortion' = normalized mip-NeRF-360-style
+    # distortion (ops/composite.py::distortion_loss) — prefer on
+    # unbounded / sky-heavy scenes where the reference loss erases far
+    # content (BENCH_NOTES.md)
+    var_loss_mode: str = "weight_var"
     # global-norm gradient clip; 0 disables (the reference has none)
     grad_clip_norm: float = 0.0
     seed: int = 2022                # reference main.cpp:11

@@ -32,6 +32,7 @@ class RenderResult(NamedTuple):
     weights: jnp.ndarray  # [R, S] (zero outside the keep mask)
     mask: jnp.ndarray     # [R, S] bool keep mask
     t: jnp.ndarray        # [R, S] sample distances (for spatial losses)
+    dt: jnp.ndarray       # [R, S] sample interval widths (0 = invalid)
 
 
 def init(key: jax.Array, cfg: ModelConfig, n_images: int,
@@ -120,7 +121,7 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
     rgb, depth, weights, mask = composite(
         sec_density, colors, smp.t, bg_color, cfg.trans_eps)
     return RenderResult(colors=rgb, depths=depth, weights=weights,
-                        mask=mask, t=smp.t)
+                        mask=mask, t=smp.t, dt=smp.dt)
 
 
 import functools

@@ -113,3 +113,46 @@ def weight_variance(weights: jnp.ndarray, mask: jnp.ndarray,
     mean = jnp.sum(w * pos, axis=-1) / weight_sum
     bias = pos - mean[..., None]
     return jnp.sum(w * bias * bias, axis=-1)
+
+
+def distortion_loss(weights: jnp.ndarray, t: jnp.ndarray, dt: jnp.ndarray,
+                    mask: jnp.ndarray, march_len: float) -> jnp.ndarray:
+    """Normalized mip-NeRF-360-style distortion loss, per ray.
+
+    Config alternative (``TrainConfig.var_loss_mode='distortion'``) to the
+    reference's UNNORMALIZED weight variance (``weight_variance`` above,
+    src/CustomOps/CustomOps.cu:13-36): on unbounded / sky-at-far-range
+    scenes the reference loss' gradient pushes all weights down — far
+    positions hardest — and erases legitimate far content (measured,
+    BENCH_NOTES.md). The distortion loss instead penalizes the *spread*
+    of each ray's weight distribution on normalized positions: a
+    concentrated surface at ANY depth gets near-zero loss, while
+    floaters / fog pay.
+
+    L(ray) = sum_{i,j} w_i w_j |s_i - s_j| + (1/3) sum_i w_i^2 d_i
+    with s = interval midpoints / march_len, d = interval widths /
+    march_len. Computed in O(S) via exclusive prefix sums — positions of
+    nonzero-weight samples are monotone along the ray (both samplers),
+    so |s_i - s_j| = s_i - s_j for j < i.
+
+    Args:
+      weights: [R, S] compositing weights (zero outside mask).
+      t: [R, S] sample distances.
+      dt: [R, S] per-sample interval widths (0 for invalid slots).
+      mask: [R, S] keep mask.
+      march_len: total march length (n_samples * sample_l) normalizing
+        positions into [0, 1].
+
+    Returns:
+      [R] per-ray distortion.
+    """
+    w = weights * mask
+    # sample i covers (t_i - dt_i, t_i]; midpoint in normalized coords
+    s_mid = (t - 0.5 * dt) / march_len
+    d = dt / march_len
+    wm = w * s_mid
+    cw = exclusive_cumsum(w, axis=-1)
+    cwm = exclusive_cumsum(wm, axis=-1)
+    loss_bi = 2.0 * jnp.sum(w * (s_mid * cw - cwm), axis=-1)
+    loss_uni = jnp.sum(w * w * d, axis=-1) / 3.0
+    return loss_bi + loss_uni

@@ -24,7 +24,7 @@ import optax
 from f2nerf_tpu.core.cameras import rays_from_pose
 from f2nerf_tpu.core.config import Config
 from f2nerf_tpu.models import renderer
-from f2nerf_tpu.ops.composite import weight_variance
+from f2nerf_tpu.ops.composite import distortion_loss, weight_variance
 
 
 class StepMetrics(NamedTuple):
@@ -62,13 +62,20 @@ def make_loss_fn(cfg: Config, encode_fn=None):
         # Charbonnier color loss (train_manager.cpp:78)
         color_loss = jnp.mean(
             jnp.sqrt((res.colors - gt) ** 2 + 1e-4))
-        # Weight-variance loss (train_manager.cpp:80-84); spatial
-        # positions t/(sample_l*16) == the reference's i/16 for its
-        # uniform march, and the spatially-correct generalization for
-        # the occupancy sampler (slot index != distance there)
-        var = weight_variance(res.weights, res.mask,
-                              pos=res.t / (cfg.model.sample_l * 16.0))
-        var_loss = jnp.mean(jnp.sqrt(var + 1e-2))
+        if cfg.train.var_loss_mode == "distortion":
+            # normalized mip-NeRF-360-style distortion (plain mean —
+            # the loss is already bounded by construction)
+            march = cfg.model.n_samples * cfg.model.sample_l
+            var_loss = jnp.mean(distortion_loss(
+                res.weights, res.t, res.dt, res.mask, march))
+        else:
+            # Weight-variance loss (train_manager.cpp:80-84); spatial
+            # positions t/(sample_l*16) == the reference's i/16 for its
+            # uniform march, and the spatially-correct generalization
+            # for the occupancy sampler (slot index != distance there)
+            var = weight_variance(res.weights, res.mask,
+                                  pos=res.t / (cfg.model.sample_l * 16.0))
+            var_loss = jnp.mean(jnp.sqrt(var + 1e-2))
         w = var_loss_weight(step, cfg)
         loss = color_loss + var_loss * w
 

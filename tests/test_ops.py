@@ -214,3 +214,65 @@ class TestWeightVariance:
         jax.test_util.check_grads(
             lambda w: jnp.sum(weight_variance(w, mask)), (w,), order=1,
             modes=["rev"], atol=5e-2, rtol=5e-2)
+
+
+def _distortion_oracle(w, t, dt, mask, march):
+    """O(S^2) pairwise mip-NeRF-360 distortion."""
+    w = w * mask
+    s = (t - 0.5 * dt) / march
+    d = dt / march
+    out = np.zeros(w.shape[0], np.float32)
+    for i in range(w.shape[0]):
+        diff = np.abs(s[i][:, None] - s[i][None, :])
+        out[i] = (w[i][:, None] * w[i][None, :] * diff).sum() \
+            + (w[i] ** 2 * d[i]).sum() / 3.0
+    return out
+
+
+class TestDistortionLoss:
+    def _rand_samples(self, rng, r=8, s=32):
+        # monotone t with random intervals; prefix masks like the
+        # renderer produces; weights zero outside the mask
+        dt = rng.uniform(0.01, 0.1, (r, s)).astype(np.float32)
+        t = np.cumsum(dt, axis=1).astype(np.float32)
+        lens = rng.integers(1, s, r)
+        mask = np.arange(s)[None, :] < lens[:, None]
+        w = (rng.uniform(0, 0.2, (r, s)) * mask).astype(np.float32)
+        dt = dt * mask
+        return w, t, dt, mask
+
+    def test_matches_pairwise_oracle(self, rng):
+        from f2nerf_tpu.ops.composite import distortion_loss
+        w, t, dt, mask = self._rand_samples(rng)
+        march = 4.0
+        out = distortion_loss(jnp.asarray(w), jnp.asarray(t),
+                              jnp.asarray(dt), jnp.asarray(mask), march)
+        np.testing.assert_allclose(
+            out, _distortion_oracle(w, t, dt, mask, march),
+            rtol=1e-4, atol=1e-6)
+
+    def test_concentrated_beats_spread(self, rng):
+        # one spike vs the same total weight spread over the ray: the
+        # normalized loss must prefer the spike regardless of its depth
+        # (the property the reference's unnormalized variance lacks)
+        from f2nerf_tpu.ops.composite import distortion_loss
+        s = 64
+        dt = np.full((2, s), 1.0 / 16.0, np.float32)
+        t = np.cumsum(dt, axis=1).astype(np.float32)
+        mask = np.ones((2, s), bool)
+        w = np.zeros((2, s), np.float32)
+        w[0, s - 2] = 0.9                    # far spike
+        w[1, :] = 0.9 / s                    # spread
+        out = np.asarray(distortion_loss(
+            jnp.asarray(w), jnp.asarray(t), jnp.asarray(dt),
+            jnp.asarray(mask), float(s / 16.0)))
+        assert out[0] < 0.1 * out[1]
+
+    def test_gradient(self, rng):
+        from f2nerf_tpu.ops.composite import distortion_loss
+        w, t, dt, mask = self._rand_samples(rng, r=2, s=8)
+        jax.test_util.check_grads(
+            lambda w_: jnp.sum(distortion_loss(
+                w_, jnp.asarray(t), jnp.asarray(dt), jnp.asarray(mask),
+                4.0)), (jnp.asarray(w),), order=1, modes=["rev"],
+            atol=5e-2, rtol=5e-2)

@@ -90,6 +90,17 @@ class TestTrainer:
         m = tr.run(20)
         assert np.isfinite(m["loss"])
 
+    def test_distortion_loss_mode_trains(self, tiny_cfg, sphere_ds):
+        from f2nerf_tpu.train.loop import Trainer
+        cfg = dataclasses.replace(
+            tiny_cfg,
+            train=dataclasses.replace(tiny_cfg.train,
+                                      var_loss_mode="distortion",
+                                      var_loss_start=0, var_loss_end=1))
+        tr = Trainer(cfg, sphere_ds, result_dir=None)
+        m = tr.run(20)
+        assert np.isfinite(m["loss"])
+
     def test_nan_raises(self, tiny_cfg, sphere_ds):
         """Reference CHECKs NaN each iter (train_manager.cpp:98-100)."""
         from f2nerf_tpu.train.loop import Trainer
