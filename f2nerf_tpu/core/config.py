@@ -44,9 +44,10 @@ class ModelConfig:
     # (ops/hash_paged.py paged_encode_rays) — exact, pure perf
     encode_dedup: bool = True
     # dedup a level only while its worst-case run budget is at most this
-    # fraction of samples/ray (beyond that the expansion matmuls cost
-    # more than the saved fetches)
-    dedup_max_frac: float = 0.6
+    # fraction of samples/ray (the expansion matmuls are MXU-cheap —
+    # ~0.5 ms against ~4 ms saved per level at 0.75 — but beyond this
+    # the saved fetch fraction stops paying)
+    dedup_max_frac: float = 0.75
     res_base_pow2: float = 3.0      # per-level res = exp2(3 + 7*l/15): 8..1024
     res_fine_pow2: float = 10.0
     contraction_radius: float = 1.0  # src/hash_3d_anchored.cpp:79
@@ -82,6 +83,12 @@ class ModelConfig:
     occ_samples_per_segment: int = 8
     occ_update_every: int = 16
     occ_decay: float = 0.8
+    # partial grid refresh: each refresh re-queries density at 1/K of
+    # the cells (rotating strided subset; full turnover every K
+    # refreshes) while decaying the whole max channel. A full-grid
+    # refresh costs ~4x a train step at the flagship; K=4 cuts the
+    # amortized overhead ~4x. 1 = full refresh every time.
+    occ_refresh_phases: int = 1
     # a cell is occupied while its density-EMA's per-segment alpha
     # contribution 1-exp(-sigma*seg_len) exceeds this
     occ_thresh: float = 0.01

@@ -106,16 +106,20 @@ def ray_budgets(cfg: ModelConfig) -> tuple[int, ...] | None:
     if cfg.sampler_mode == "occ":
         s = cfg.occ_keep * cfg.occ_samples_per_segment
         march = cfg.n_samples * cfg.sample_l
+        occ = (cfg.occ_keep, cfg.occ_samples_per_segment,
+               cfg.occ_segments)
     else:
         s = cfg.n_samples
         march = 1.5 * cfg.n_samples * cfg.sample_l
+        occ = None
     budgets = hash_paged.dedup_budgets(paged_meta(cfg), s, march,
-                                       cfg.dedup_max_frac)
+                                       cfg.dedup_max_frac, occ=occ)
     return budgets if any(budgets) else None
 
 
 def query_rays(params: Params, consts: Params, points: jnp.ndarray,
-               cfg: ModelConfig, encode_fn=None) -> jnp.ndarray:
+               cfg: ModelConfig, encode_fn=None,
+               point_grads: bool = True) -> jnp.ndarray:
     """Ray-structured field query: [R, S, 3] -> [R, S, hash_feat_dim].
 
     Identical results to :func:`query` on the flattened points (the
@@ -129,19 +133,22 @@ def query_rays(params: Params, consts: Params, points: jnp.ndarray,
     budgets = ray_budgets(cfg) if encode_fn is None else None
     if budgets is None:
         return query(params, consts, points.reshape(r * s, 3), cfg,
-                     encode_fn=encode_fn).reshape(r, s, -1)
+                     encode_fn=encode_fn,
+                     point_grads=point_grads).reshape(r, s, -1)
     x = contract(points.reshape(r * s, 3),
                  cfg.contraction_radius).reshape(r, s, 3)
     compute_dtype = jnp.bfloat16 if cfg.bf16_features else jnp.float32
     feat = hash_paged.paged_encode_rays(
         x, params["feat_pool"], paged_meta(cfg), budgets,
-        compute_dtype=compute_dtype, chunk=cfg.encode_chunk)
+        compute_dtype=compute_dtype, chunk=cfg.encode_chunk,
+        point_grads=point_grads)
     return feat @ params["mlp"]["w"] + params["mlp"]["b"]
 
 
 def query(params: Params, consts: Params, points: jnp.ndarray,
           cfg: ModelConfig, encode_fn=None,
-          pre_contracted: bool = False) -> jnp.ndarray:
+          pre_contracted: bool = False,
+          point_grads: bool = True) -> jnp.ndarray:
     """Query the field: contraction -> hash encode -> linear head.
 
     Reference src/hash_3d_anchored.cpp:70-88 (Hash3DAnchored::query).
@@ -151,6 +158,9 @@ def query(params: Params, consts: Params, points: jnp.ndarray,
       consts: hash constants (xor mode only).
       points: [N, 3] world-space points.
       encode_fn: optional encode override (signature of hash_encode).
+      point_grads: keep the d_points backward path (pose optimization);
+        the train step passes False — XLA fails to DCE the path through
+        the chunked backward loop (ops/hash_paged.py).
 
     Returns:
       [N, hash_feat_dim] float32 features (channel 0 is raw density).
@@ -175,7 +185,8 @@ def query(params: Params, consts: Params, points: jnp.ndarray,
     elif cfg.hash_mode == "paged":
         feat = hash_paged.paged_encode(
             x, params["feat_pool"], paged_meta(cfg),
-            compute_dtype=compute_dtype, chunk=cfg.encode_chunk)
+            compute_dtype=compute_dtype, chunk=cfg.encode_chunk,
+            point_grads=point_grads)
     else:
         pool = params["feat_pool"]
         if cfg.bf16_features:

@@ -123,31 +123,51 @@ def occ_values(grid: jnp.ndarray, cfg: ModelConfig,
 
 
 def update_grid(grid: jnp.ndarray, density_fn, key: jax.Array,
-                cfg: ModelConfig) -> jnp.ndarray:
+                cfg: ModelConfig,
+                phase: jnp.ndarray | int = 0) -> jnp.ndarray:
     """EMA-update the grid by querying density at jittered cell centers.
 
     density_fn: [N, 3] contracted-space points -> [N] sigma. (Queries go
     through the field WITHOUT re-contracting: grid cells already live in
     contracted space; the contraction is identity inside the unit ball
     and the grid resolution outside it is coarse anyway.)
+
+    Partial refresh (cfg.occ_refresh_phases = K > 1): each call decays
+    the WHOLE max channel but re-queries density only at the cells whose
+    flat index is ``phase (mod K)`` — a strided dense subset, so the
+    write-back is a dynamic-update-slice instead of a scatter. Rotating
+    ``phase`` covers every cell each K refreshes (the instant-ngp
+    partial-update idea with deterministic coverage). A full refresh
+    queries the field at G^3 points — 4x a train step's sample count at
+    the flagship (measured 199 ms vs 152 ms/step) — so K=4 cuts the
+    amortized cost ~4x while the grid still fully turns over every
+    K * occ_update_every steps.
     """
     g = cfg.occ_grid_res
+    k_sub = cfg.occ_refresh_phases
+    n_cells = g * g * g
+    m = n_cells // k_sub
+    assert m * k_sub == n_cells, "occ_refresh_phases must divide G^3"
     cell = 2.0 * DOMAIN / g
-    centers = (jnp.stack(jnp.meshgrid(*([jnp.arange(g)] * 3),
-                                      indexing="ij"), axis=-1)
-               .reshape(-1, 3).astype(jnp.float32) + 0.5) * cell - DOMAIN
+    flat = jnp.arange(m, dtype=jnp.int32) * k_sub + phase   # [M]
+    ijk = jnp.stack([flat // (g * g), (flat // g) % g, flat % g],
+                    axis=-1).astype(jnp.float32)
+    centers = (ijk + 0.5) * cell - DOMAIN
     jitter = (jax.random.uniform(key, centers.shape) - 0.5) * cell
     sigma = density_fn(centers + jitter)
     # clamp non-finite / exploded densities so transients DECAY instead
     # of pinning the max-EMA at inf (see SIGMA_EMA_MAX)
     sigma = jnp.where(jnp.isfinite(sigma), sigma, SIGMA_EMA_MAX)
-    sigma = jnp.minimum(sigma, SIGMA_EMA_MAX).reshape(g, g, g)
+    sigma = jnp.minimum(sigma, SIGMA_EMA_MAX)                # [M]
     gmax = grid[0] if grid.ndim == 4 else grid
-    new_max = jnp.maximum(gmax * cfg.occ_decay, sigma)
+    gm = (gmax * cfg.occ_decay).reshape(m, k_sub)
+    new_max = gm.at[:, phase].max(sigma).reshape(g, g, g)
     if grid.ndim != 4:          # legacy single-channel grid
         return new_max
     a = cfg.occ_mean_ema
-    new_mean = grid[1] * (1.0 - a) + sigma * a
+    gmean = grid[1].reshape(m, k_sub)
+    col = gmean[:, phase] * (1.0 - a) + sigma * a
+    new_mean = gmean.at[:, phase].set(col).reshape(g, g, g)
     return jnp.stack([new_max, new_mean])
 
 
@@ -177,11 +197,12 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     mid = rays_o[:, None, :] + dirs[:, None, :] * t_mid[None, :, None]
     cell = _cell_index(contract(mid), cfg.occ_grid_res)  # [R, n_seg]
     if vals.ndim == 2:          # [2, G^3] from occ_values — one gather
-        both = jnp.take(vals.astype(jnp.float32), cell, axis=1)
+        both = jnp.take(vals.astype(jnp.float32), cell, axis=1,
+                        mode="clip")
         occ_seg, elig_seg = both[0], both[1]
     else:                       # legacy single channel / bool bits
         occ_seg = elig_seg = jnp.take(vals.astype(jnp.float32), cell,
-                                      axis=0)
+                                      axis=0, mode="clip")
     occ = occ_seg > 0.0                             # [R, n_seg] bool
     if cfg.occ_trans_eps > 0.0:
         # transmittance-aware eligibility: drop segments behind an

@@ -65,8 +65,8 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
            rays_d: jnp.ndarray,
            emb_idx: jnp.ndarray | None, cfg: ModelConfig,
            key: jax.Array | None, train: bool,
-           encode_fn=None, occ_bits: jnp.ndarray | None = None
-           ) -> RenderResult:
+           encode_fn=None, occ_bits: jnp.ndarray | None = None,
+           point_grads: bool = True) -> RenderResult:
     """Render a batch of rays.
 
     Args:
@@ -79,6 +79,10 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
       encode_fn: optional hash-encode override (Pallas kernel).
       occ_bits: [G^3] occupancy bits; required when
         cfg.sampler_mode == 'occ'.
+      point_grads: keep the encode's d_points backward path. Required
+        for pose gradients (localizer differential mode); the train
+        step passes False to drop the path entirely (XLA cannot DCE it
+        through the chunked backward loop).
     """
     r = rays_o.shape[0]
     if train:
@@ -100,8 +104,8 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
         s = cfg.n_samples
 
     feat = hash_field.query_rays(params["field"], consts["field"],
-                                 smp.pts, cfg,
-                                 encode_fn=encode_fn)          # [R, S, F]
+                                 smp.pts, cfg, encode_fn=encode_fn,
+                                 point_grads=point_grads)      # [R, S, F]
 
     sigma = density_activation(feat[..., 0], cfg.density_shift)  # [R, S]
 

@@ -130,7 +130,7 @@ def warp_points(points: jnp.ndarray, tables: WarpTables) -> jnp.ndarray:
     d2 = jnp.sum(
         (points[:, None, :] - tables.anchors[None, :, :]) ** 2, axis=-1)
     region = jnp.argmin(d2, axis=-1)                      # [P]
-    row = jnp.take(tables.rows, region, axis=0)           # [P, 128]
+    row = jnp.take(tables.rows, region, axis=0, mode="clip")  # [P, 128]
 
     w2c = row[:, :12 * n].reshape(-1, n, 3, 4)
     mean = row[:, 12 * n:14 * n]

@@ -115,7 +115,8 @@ def hash_encode(points: jnp.ndarray, feat_pool: jnp.ndarray,
     flat = feat_pool.reshape(n_levels * table_size, n_ch)
     level_off = (jnp.arange(n_levels, dtype=jnp.int32)
                  * table_size)[None, :, None]               # [1, L, 1]
-    vals = jnp.take(flat, idx + level_off, axis=0)           # [N, L, 8, C]
+    vals = jnp.take(flat, idx + level_off, axis=0,
+                    mode="clip")                             # [N, L, 8, C]
     out = jnp.sum(vals.astype(jnp.float32) * w[..., None], axis=2)
     return out.reshape(n, n_levels * n_ch)
 

@@ -257,17 +257,45 @@ def _weight_row(local: jnp.ndarray, frac: jnp.ndarray,
 
 
 def dedup_budgets(meta: PagedMeta, s_per_ray: int, march: float,
-                  max_frac: float = 0.6) -> tuple[int, ...]:
+                  max_frac: float = 0.6,
+                  occ: tuple[int, int, int] | None = None
+                  ) -> tuple[int, ...]:
     """Per-level run budgets (0 = level not deduped).
 
     A level is deduped only when its worst-case budget is at most
     ``max_frac * s_per_ray`` — beyond that the fetch saving no longer
     pays for the expansion matmuls.
+
+    Two worst-case run bounds, minimum taken:
+
+    * march bound: 1 + total block-boundary crossings of the contracted
+      ray path (per-axis TV <= march since contraction is 1-Lipschitz;
+      Cauchy-Schwarz across axes) + slack for per-axis rounding and the
+      contraction's few non-monotone pieces.
+    * occ-slot bound (``occ=(keep, sps, n_segments)``): the occupancy
+      sampler emits ``keep`` slots of ``sps`` samples, each slot walking
+      one ``march/n_segments``-long segment (invalid slots re-walk
+      segment 0 — same structure). A run boundary is an adjacent-PAIR
+      page change, so each slot contributes at most
+      ``min(sps-1, 3*(floor(seg_len*scale/BLOCK)+1))`` boundaries (a
+      slot shorter than a block can straddle at most one boundary per
+      axis — plus rounding when it spans blocks), each between-slot jump
+      contributes exactly one, and +12 covers extra crossings from the
+      contraction's per-axis non-monotone pieces. For mid levels the
+      march bound explodes (the slot structure is what bounds the walk,
+      not the full march) while this stays ~keep*3.
     """
     out = []
     for lvl in range(meta.n_levels):
-        b = int(np.ceil(np.sqrt(3.0) * march * float(meta.scales[lvl])
-                        / BLOCK)) + 8
+        scale = float(meta.scales[lvl])
+        b = int(np.ceil(np.sqrt(3.0) * march * scale / BLOCK)) + 8
+        if occ is not None:
+            keep, sps, n_seg = occ
+            seg_len = march / n_seg
+            per_slot = min(sps - 1,
+                           3 * (int(seg_len * scale / BLOCK) + 1))
+            b_occ = 1 + (keep - 1) + keep * per_slot + 12
+            b = min(b, b_occ)
         b = ((b + 7) // 8) * 8
         out.append(b if b <= max_frac * s_per_ray else 0)
     return tuple(out)
@@ -317,10 +345,13 @@ def _fetch_level(haloed, page_idx, run_id, run_pages, lvl, di, doff,
     """One level's per-sample rows [N, cw]: plain gather, or run gather +
     one-hot MXU expansion when the level is deduped."""
     if not budget:
-        return jnp.take(haloed, page_idx[lvl], axis=0)
+        # mode='clip': page indices are in-range by construction; the
+        # default 'fill' mode adds a per-row validity select over every
+        # fetched [N, cw] block (measured ~6.6 ms/step at the flagship)
+        return jnp.take(haloed, page_idx[lvl], axis=0, mode="clip")
     n = page_idx.shape[1]
     rp = run_pages[:, doff:doff + budget]                # [R, B]
-    rows_d = jnp.take(haloed, rp, axis=0)                # [R, B, cw]
+    rows_d = jnp.take(haloed, rp, axis=0, mode="clip")  # [R, B, cw]
     onehot = _run_onehot(run_id[di], budget, haloed.dtype)
     rows = jax.lax.dot_general(                          # [R, S, cw]
         onehot, rows_d,
@@ -379,13 +410,13 @@ def _dfrac_level(rows_l, local_l, frac_l, g_l, n_channels, use_pallas):
     return d_frac
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _encode_core(haloed: jnp.ndarray, page_idx: jnp.ndarray,
                  local_frac: jnp.ndarray, run_id: jnp.ndarray,
                  run_pages: jnp.ndarray, n_channels: int,
                  page_layout: tuple[tuple[int, int], ...],
                  use_pallas: bool, budgets: tuple[int, ...],
-                 s_per_ray: int) -> jnp.ndarray:
+                 s_per_ray: int, point_grads: bool = True) -> jnp.ndarray:
     """Level-major encode: per level, gather (or dedup-expand) rows and
     contract against trilinear weights.
 
@@ -411,15 +442,15 @@ def _encode_core(haloed: jnp.ndarray, page_idx: jnp.ndarray,
 
 def _encode_core_fwd(haloed, page_idx, local_frac, run_id, run_pages,
                      n_channels, page_layout, use_pallas, budgets,
-                     s_per_ray):
+                     s_per_ray, point_grads):
     out = _encode_core(haloed, page_idx, local_frac, run_id, run_pages,
                        n_channels, page_layout, use_pallas, budgets,
-                       s_per_ray)
+                       s_per_ray, point_grads)
     return out, (haloed, page_idx, local_frac, run_id, run_pages)
 
 
 def _encode_core_bwd(n_channels, page_layout, use_pallas, budgets,
-                     s_per_ray, res, g):
+                     s_per_ray, point_grads, res, g):
     haloed, page_idx, local_frac, run_id, run_pages = res
     n = page_idx.shape[1]
     r = n // s_per_ray if s_per_ray else n
@@ -436,12 +467,17 @@ def _encode_core_bwd(n_channels, page_layout, use_pallas, budgets,
                                 use_pallas, haloed.dtype)
         if b:
             # compress sample cotangents into run cotangents (MXU), then
-            # a much smaller deterministic segment_sum
+            # a much smaller deterministic segment_sum — in the compute
+            # dtype on TPU (same rationale as the non-dedup branch
+            # below; the f32 matmul output would double the scattered
+            # bytes for nothing)
             onehot = _run_onehot(run_id[di], b, d_rows_l.dtype)
             d_runs = jax.lax.dot_general(                # [R, B, cw]
                 onehot, d_rows_l.reshape(r, s_per_ray, -1),
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
+            if use_pallas:
+                d_runs = d_runs.astype(haloed.dtype)
             rp = run_pages[:, doff:doff + b]
             d_haloed_parts.append(jax.ops.segment_sum(
                 d_runs.reshape(r * b, -1), (rp - off).reshape(-1),
@@ -461,16 +497,24 @@ def _encode_core_bwd(n_channels, page_layout, use_pallas, budgets,
             acc = d_rows_l if use_pallas else d_rows_l.astype(jnp.float32)
             d_haloed_parts.append(jax.ops.segment_sum(
                 acc, page_idx[lvl] - off, num_segments=n_p))
-        # point-gradient path (re-fetches rows; DCE'd in training)
-        rows_l = _fetch_level(haloed, page_idx, run_id, run_pages, lvl,
-                              di - (1 if b else 0), doff - b, b,
-                              s_per_ray)
-        d_frac_cols.append(_dfrac_level(rows_l, local_l, frac_l, g_l,
-                                        n_channels, use_pallas))
+        if point_grads:
+            # point-gradient path (re-fetches rows). XLA fails to DCE
+            # this through the transposed chunk loop (measured: the
+            # re-fetch gathers + frac kernels stayed live in the train
+            # step at ~20 ms), so callers that never differentiate
+            # points pass point_grads=False explicitly.
+            rows_l = _fetch_level(haloed, page_idx, run_id, run_pages,
+                                  lvl, di - (1 if b else 0), doff - b, b,
+                                  s_per_ray)
+            d_frac_cols.append(_dfrac_level(rows_l, local_l, frac_l,
+                                            g_l, n_channels, use_pallas))
     d_haloed = jnp.concatenate(d_haloed_parts, axis=0)
-    d_frac = jnp.stack(d_frac_cols, axis=0)              # [L, N, 3]
-    d_local_frac = jnp.concatenate(
-        [jnp.zeros_like(d_frac), d_frac], axis=-1)
+    if point_grads:
+        d_frac = jnp.stack(d_frac_cols, axis=0)          # [L, N, 3]
+        d_local_frac = jnp.concatenate(
+            [jnp.zeros_like(d_frac), d_frac], axis=-1)
+    else:
+        d_local_frac = jnp.zeros_like(local_frac)
     return (d_haloed.astype(haloed.dtype), None, d_local_frac, None,
             None)
 
@@ -493,7 +537,8 @@ def _resolve_pallas(use_pallas):
 def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
                  meta: PagedMeta, compute_dtype=jnp.bfloat16,
                  chunk: int = 65536,
-                 use_pallas: bool | None = None) -> jnp.ndarray:
+                 use_pallas: bool | None = None,
+                 point_grads: bool = True) -> jnp.ndarray:
     """Encode points against the paged hash grid.
 
     Args:
@@ -532,7 +577,8 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
             page_idx = jnp.pad(page_idx, ((0, 0), (0, pad)))
             local_frac = jnp.pad(local_frac, ((0, 0), (0, pad), (0, 0)))
         feat = _encode_core(haloed, page_idx, local_frac, run_id,
-                            run_pages, c, layout, use_pallas, budgets, 0)
+                            run_pages, c, layout, use_pallas, budgets, 0,
+                            point_grads)
         return feat[:n]
 
     chunk = max(tile, chunk - chunk % tile)
@@ -545,7 +591,7 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
     def chunk_fn(args):
         pi, lf = args
         return _encode_core(haloed, pi, lf, run_id, run_pages, c,
-                            layout, use_pallas, budgets, 0)
+                            layout, use_pallas, budgets, 0, point_grads)
 
     feat = jax.lax.map(
         chunk_fn,
@@ -557,7 +603,8 @@ def paged_encode(points: jnp.ndarray, pages: jnp.ndarray,
 def paged_encode_rays(points: jnp.ndarray, pages: jnp.ndarray,
                       meta: PagedMeta, budgets: tuple[int, ...],
                       compute_dtype=jnp.bfloat16, chunk: int = 65536,
-                      use_pallas: bool | None = None) -> jnp.ndarray:
+                      use_pallas: bool | None = None,
+                      point_grads: bool = True) -> jnp.ndarray:
     """Ray-structured encode with coarse-level run dedup.
 
     Args:
@@ -574,7 +621,8 @@ def paged_encode_rays(points: jnp.ndarray, pages: jnp.ndarray,
     if not any(budgets):
         flat = paged_encode(points.reshape(r * s, 3), pages, meta,
                             compute_dtype=compute_dtype, chunk=chunk,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas,
+                            point_grads=point_grads)
         return flat.reshape(r, s, l * c)
     haloed = halo_pages(pages, meta).astype(compute_dtype)
     layout = tuple(zip(meta.page_offset, meta.n_pages))
@@ -612,7 +660,7 @@ def paged_encode_rays(points: jnp.ndarray, pages: jnp.ndarray,
         rc = rid.shape[1]
         return _encode_core(haloed, pi.reshape(l, rc * s),
                             lf.reshape(l, rc * s, 6), rid, rp, c,
-                            layout, use_pallas, budgets, s)
+                            layout, use_pallas, budgets, s, point_grads)
 
     page_idx = page_idx.reshape(l, r, s)
     local_frac = local_frac.reshape(l, r, s, 6)

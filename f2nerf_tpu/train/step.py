@@ -58,7 +58,8 @@ def make_loss_fn(cfg: Config, encode_fn=None):
                                         ij.astype(jnp.float32))
         res = renderer.render(params, consts, rays_o, rays_d, cam_idx,
                               cfg.model, key, train=True,
-                              encode_fn=encode_fn, occ_bits=occ_bits)
+                              encode_fn=encode_fn, occ_bits=occ_bits,
+                              point_grads=False)
         # Charbonnier color loss (train_manager.cpp:78)
         color_loss = jnp.mean(
             jnp.sqrt((res.colors - gt) ** 2 + 1e-4))
@@ -112,11 +113,13 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
             k_occ, key = jax.random.split(key)
 
             def refresh(grid):
+                phase = ((step // cfg.model.occ_update_every)
+                         % cfg.model.occ_refresh_phases)
                 return occupancy.update_grid(
                     grid,
                     lambda pts: renderer.density_at(
                         params, consts, pts, cfg.model, contracted=True),
-                    k_occ, cfg.model)
+                    k_occ, cfg.model, phase=phase)
 
             occ_grid = jax.lax.cond(
                 step % cfg.model.occ_update_every == 0,

@@ -304,6 +304,30 @@ class TestDedupEncode:
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_point_grads_false_matches(self, rng):
+        """point_grads=False: identical forward and page gradients,
+        zero point gradients (the train step's fast path)."""
+        pages, meta, budgets = self._setup(rng)
+        pts = jnp.asarray(_ray_points(rng, n_rays=6, n_samples=24))
+        pages_j = jnp.asarray(pages)
+
+        def f(p_, pts_, pg):
+            return jnp.sum(jnp.sin(hp.paged_encode_rays(
+                pts_, p_, meta, budgets, compute_dtype=jnp.float32,
+                point_grads=pg)))
+
+        np.testing.assert_array_equal(
+            np.asarray(f(pages_j, pts, False)),
+            np.asarray(f(pages_j, pts, True)))
+        g_page_f, g_pts_f = jax.grad(f, argnums=(0, 1))(pages_j, pts,
+                                                        False)
+        g_page_t, g_pts_t = jax.grad(f, argnums=(0, 1))(pages_j, pts,
+                                                        True)
+        np.testing.assert_array_equal(np.asarray(g_page_f),
+                                      np.asarray(g_page_t))
+        np.testing.assert_array_equal(np.asarray(g_pts_f), 0.0)
+        assert float(jnp.abs(g_pts_t).max()) > 0.0
+
     def test_point_gradients(self, rng):
         """d_points flows through the dedup path (pose optimization)."""
         pages, meta, budgets = self._setup(rng)
@@ -317,6 +341,76 @@ class TestDedupEncode:
 
         jax.test_util.check_grads(f, (pts,), order=1, modes=["rev"],
                                   atol=2e-2, rtol=2e-2)
+
+    def _occ_points(self, rng, n_rays, keep, sps, n_seg, march,
+                    diag=False, invalid_tail=0):
+        """Occ-sampler-structured points: keep slots of sps samples,
+        ascending segment indices, stratified within; optional invalid
+        suffix slots re-walking segment 0 (models/occupancy.py:229-242)."""
+        seg_len = march / n_seg
+        o = rng.uniform(-0.4, 0.4, (n_rays, 3)).astype(np.float32)
+        if diag:
+            d = np.sign(rng.normal(size=(n_rays, 3))).astype(np.float32)
+        else:
+            d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        seg_idx = np.sort(
+            rng.choice(n_seg, size=(n_rays, keep), replace=True), axis=1)
+        if invalid_tail:
+            seg_idx[:, -invalid_tail:] = 0
+        u = rng.uniform(0, 1, (n_rays, keep, sps))
+        t = (seg_idx[..., None] * seg_len
+             + (np.arange(sps)[None, None, :] + u) * (seg_len / sps))
+        t = t.reshape(n_rays, keep * sps).astype(np.float32)
+        pts = o[:, None, :] + d[:, None, :] * t[..., None]
+        return np.clip(pts, -1.98, 1.98).astype(np.float32)
+
+    def test_occ_budget_bound_holds(self, rng):
+        """The occ-slot run bound must hold for occ-structured points,
+        including adversarial diagonals and invalid-suffix slots."""
+        keep, sps, n_seg, march = 4, 8, 16, 2.0
+        pages, meta, _ = self._setup(rng, n_samples=keep * sps)
+        budgets = hp.dedup_budgets(meta, keep * sps, march, max_frac=1.0,
+                                   occ=(keep, sps, n_seg))
+        assert any(budgets)
+        for diag in (False, True):
+            for tail in (0, 2):
+                pts = self._occ_points(rng, 64, keep, sps, n_seg, march,
+                                       diag=diag, invalid_tail=tail)
+                page_idx, _, _ = hp._page_indices(
+                    jnp.asarray(pts.reshape(-1, 3)), meta)
+                pi = np.asarray(page_idx).reshape(64, keep * sps,
+                                                  meta.n_levels)
+                for lvl, b in enumerate(budgets):
+                    if not b:
+                        continue
+                    runs = 1 + (np.diff(pi[:, :, lvl], axis=1) != 0).sum(1)
+                    assert runs.max() <= b, (lvl, runs.max(), b)
+
+    def test_occ_budgets_exact(self, rng):
+        keep, sps, n_seg, march = 4, 8, 16, 2.0
+        pages, meta, _ = self._setup(rng, n_samples=keep * sps)
+        budgets = hp.dedup_budgets(meta, keep * sps, march, max_frac=1.0,
+                                   occ=(keep, sps, n_seg))
+        pts = self._occ_points(rng, 16, keep, sps, n_seg, march,
+                               invalid_tail=1)
+        self._check_exact(pts, pages, meta, budgets)
+
+    def test_occ_budget_tighter_than_march(self, rng):
+        """Mid levels must gain dedup from the occ-slot bound (the point
+        of the occ-aware formula)."""
+        from f2nerf_tpu.core.config import ModelConfig
+        from f2nerf_tpu.models.hash_field import paged_meta
+        cfg = ModelConfig()          # flagship occ config
+        meta = paged_meta(cfg)
+        s = cfg.occ_keep * cfg.occ_samples_per_segment
+        march = cfg.n_samples * cfg.sample_l
+        b_march = hp.dedup_budgets(meta, s, march, cfg.dedup_max_frac)
+        b_occ = hp.dedup_budgets(
+            meta, s, march, cfg.dedup_max_frac,
+            occ=(cfg.occ_keep, cfg.occ_samples_per_segment,
+                 cfg.occ_segments))
+        assert sum(1 for b in b_occ if b) > sum(1 for b in b_march if b)
 
     def test_budget_helper_disables_fine_levels(self):
         from f2nerf_tpu.core.config import ModelConfig

@@ -104,6 +104,48 @@ class TestOccupancySampler:
                 jax.random.key(0), cfg)
         assert bool(occupancy.occupancy_bits(grid, cfg).all())
 
+    def test_phased_refresh_covers_grid(self):
+        """K-phase partial refresh: after K rotated refreshes every cell
+        has been re-queried; a K=1 refresh equals the original full
+        update bit-for-bit."""
+        import dataclasses
+        cfg = self._cfg()
+        cfg4 = dataclasses.replace(cfg, occ_refresh_phases=4)
+        thresh = occupancy.sigma_threshold(cfg)
+
+        def dens(p):  # dense near origin only
+            return jnp.where(jnp.linalg.norm(p, axis=-1) < 0.5,
+                             10.0 * thresh, 0.0)
+
+        g1 = occupancy.update_grid(occupancy.init_grid(cfg), dens,
+                                   jax.random.key(0), cfg, phase=0)
+        g1b = occupancy.update_grid(occupancy.init_grid(cfg), dens,
+                                    jax.random.key(0), cfg)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g1b))
+
+        grid = occupancy.init_grid(cfg4)
+        # mean channel starts 0; after a full rotation every cell inside
+        # the dense ball must have a nonzero mean-EMA
+        for ph in range(4):
+            grid = occupancy.update_grid(grid, dens, jax.random.key(ph),
+                                         cfg4, phase=ph)
+        mean = np.asarray(grid[1]).reshape(-1)
+        g = cfg.occ_grid_res
+        ijk = np.stack(np.meshgrid(*([np.arange(g)] * 3),
+                                   indexing="ij"), -1).reshape(-1, 3)
+        centers = (ijk + 0.5) * (2 * occupancy.DOMAIN / g) \
+            - occupancy.DOMAIN
+        deep = np.linalg.norm(centers, axis=-1) < 0.35  # jitter-proof
+        assert (mean[deep] > 0).all()
+        # and 30 rotated refreshes keep dense regions / prune empties
+        for i in range(30):
+            grid = occupancy.update_grid(grid, dens, jax.random.key(i),
+                                         cfg4, phase=i % 4)
+        bits = np.asarray(occupancy.occupancy_bits(grid, cfg4)).reshape(
+            g, g, g)
+        assert bits[8, 8, 8]
+        assert not bits[0, 0, 0]
+
     def test_update_keeps_dense_regions(self):
         cfg = self._cfg()
         grid = occupancy.init_grid(cfg)
