@@ -111,10 +111,18 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
             jax.random.key(cfg.train.seed), step.astype(jnp.uint32))
         if use_occ:
             k_occ, key = jax.random.split(key)
+            every = cfg.model.occ_update_every
+            k_ph = cfg.model.occ_refresh_phases
+            # While the field evolves fast (early training), run the
+            # 1/K partial refresh K times as often — same query rate as
+            # a full refresh but fresher in time; after the warmup drop
+            # to the slow cadence (1/K of the full-refresh cost).
+            fast_every = max(every // k_ph, 1)
+            warm = step < cfg.model.occ_refresh_warmup
+            cadence = jnp.where(warm, fast_every, every)
 
             def refresh(grid):
-                phase = ((step // cfg.model.occ_update_every)
-                         % cfg.model.occ_refresh_phases)
+                phase = (step // cadence) % k_ph
                 return occupancy.update_grid(
                     grid,
                     lambda pts: renderer.density_at(
@@ -122,8 +130,7 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
                     k_occ, cfg.model, phase=phase)
 
             occ_grid = jax.lax.cond(
-                step % cfg.model.occ_update_every == 0,
-                refresh, lambda g: g, occ_grid)
+                step % cadence == 0, refresh, lambda g: g, occ_grid)
             # sigma-valued occupancy; warmup forces everything occupied
             occ_bits = occupancy.occ_values(
                 occ_grid, cfg.model,
