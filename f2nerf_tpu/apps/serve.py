@@ -37,12 +37,32 @@ BASE_SCORE = 100.0  # reference parameter base_score_ (score scale)
 
 
 class LocalizerService:
-    def __init__(self, localizer):
+    def __init__(self, localizer, save_particles_dir: str | None = None):
         self.localizer = localizer
         self.lock = threading.Lock()
         self.pose_nerf: np.ndarray | None = None  # 3x4 NeRF frame
         self.previous_score = BASE_SCORE
         self.frames = 0
+        self.save_particles_dir = save_particles_dir
+        self._particles_cnt = 0
+
+    def _dump_particles(self, particles) -> None:
+        """Write per-frame particle TSVs in the reference's format
+        (nerf_based_localizer.cpp:311-329: header m00..m23, weight) so
+        the analysis tools (scripts/analyze_particles_log.py,
+        scripts/modified_offset_by_particles_log.py) interoperate."""
+        import pathlib
+
+        d = pathlib.Path(self.save_particles_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        cols = [f"m{i}{j}" for i in range(3) for j in range(4)]
+        lines = ["\t".join(cols + ["weight"])]
+        for p in particles:
+            vals = [f"{v:.6f}" for v in np.asarray(p.pose)[:3, :4].ravel()]
+            lines.append("\t".join(vals + [f"{p.weight:.6f}"]))
+        (d / f"{self._particles_cnt:08d}.tsv").write_text(
+            "\n".join(lines) + "\n")
+        self._particles_cnt += 1
 
     def handle(self, req: dict) -> dict:
         cmd = req.get("cmd")
@@ -81,6 +101,8 @@ class LocalizerService:
             particles = self.localizer.optimize_pose_by_random_search(
                 pose, image, int(req.get("particle_num", 64)),
                 noise_coeff)
+            if self.save_particles_dir:
+                self._dump_particles(particles)
             new_pose = calc_average_pose(particles)
         else:
             noise_coeff = 0.0
@@ -96,6 +118,9 @@ class LocalizerService:
             self.pose_nerf = new_pose
             self.previous_score = score
             self.frames += 1
+        # same line shape the ROS2 node logs (RCLCPP_INFO "score = ...");
+        # scripts/analyze_localizer_log.py parses these.
+        print(f"score = {score}", flush=True)
         return {
             "ok": True,
             "pose": self.localizer.camera2world(new_pose).tolist(),
@@ -128,11 +153,12 @@ class Server(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
 
-def serve(localizer, host: str = "127.0.0.1", port: int = 0) -> Server:
+def serve(localizer, host: str = "127.0.0.1", port: int = 0,
+          save_particles_dir: str | None = None) -> Server:
     """Start the service; returns the (already listening) server. Call
     server.serve_forever() (blocking) or drive it from a thread."""
     srv = Server((host, port), _Handler)
-    srv.service = LocalizerService(localizer)  # type: ignore
+    srv.service = LocalizerService(localizer, save_particles_dir)  # type: ignore
     srv.shutdown_requested = False  # type: ignore
     return srv
 
@@ -145,12 +171,16 @@ def main() -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=7011)
     ap.add_argument("--resize_factor", type=int, default=8)
+    ap.add_argument("--save_particles_dir", default=None,
+                    help="dump per-frame particle TSVs here "
+                         "(reference save_particles behavior)")
     args = ap.parse_args()
 
     core = Localizer.from_checkpoint(
         args.train_result_dir,
         LocalizerParam(resize_factor=args.resize_factor))
-    srv = serve(core, args.host, args.port)
+    srv = serve(core, args.host, args.port,
+                save_particles_dir=args.save_particles_dir)
     print(f"localizer service on {srv.server_address}")
     srv.serve_forever()
 

@@ -218,8 +218,11 @@ class Localizer:
         gt = jnp.asarray(
             np.asarray(image).reshape(h * w, 3)[sel])[None]  # [1, pix, 3]
         loss = jnp.sum(jnp.mean((pred - gt) ** 2, axis=-1), axis=-1)
-        score = (pix / (loss + 1e-6)) ** 5
-        w_ = score / jnp.sum(score)
+        # weights (pix/loss)^5 normalized (src/localizer.cpp:237-247),
+        # computed in log space: the raw power overflows fp32 to inf
+        # (and inf/inf -> NaN poses) when one particle's loss ~ 0.
+        logit = -5.0 * jnp.log(loss + 1e-6)
+        w_ = jax.nn.softmax(logit)
         return np.asarray(w_)
 
     def optimize_pose_by_random_search(

@@ -91,6 +91,22 @@ class TestLocalizer:
         assert w[0] > w[1]
         np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-4)
 
+    def test_evaluate_poses_exact_match_finite(self, trained):
+        """A particle whose render matches gt exactly (loss ~ 0) must
+        not overflow (pix/loss)^5 to inf/NaN weights — log-space path."""
+        core, ds = trained
+        pose = ds.poses[0]
+        gt = np.asarray(core.render_image(pose))
+        # upsample the low-res render back to dataset size as the gt
+        rf = core.param.resize_factor
+        gt_full = np.repeat(np.repeat(gt, rf, axis=0), rf, axis=1)
+        off = pose.copy()
+        off[:3, 3] += np.array([0.5, 0.0, 0.5], dtype=np.float32)
+        w = core.evaluate_poses(np.stack([pose, off]), gt_full)
+        assert np.isfinite(w).all()
+        assert w[0] > 0.99
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-4)
+
     def test_random_search_improves(self, trained):
         core, ds = trained
         true_pose = ds.poses[1]
