@@ -87,6 +87,14 @@ class LocalizerService:
         from f2nerf_tpu.utils.metrics import image_score
 
         image = np.asarray(req["image"], dtype=np.float32)
+        # msg->tensor conversion: the reference node resizes the incoming
+        # frame to the localizer's render resolution before use
+        # (nerf_based_localizer.cpp:225-235; crop/undistort belong to the
+        # my_image_proc stage — utils/undistort.py, scripts/crop_images.py)
+        h, w = self.localizer.infer_height, self.localizer.infer_width
+        if image.ndim == 3 and image.shape[:2] != (h, w):
+            from f2nerf_tpu.utils.image_io import resize_image
+            image = resize_image(image, h, w)
         mode = int(req.get("mode", 0))
         with self.lock:
             if self.pose_nerf is None:

@@ -167,6 +167,14 @@ class TrainConfig:
     var_loss_mode: str = "weight_var"
     # global-norm gradient clip; 0 disables (the reference has none)
     grad_clip_norm: float = 0.0
+    # static loss scaling: loss is multiplied by this before backward and
+    # the gradients divided after, exactly like the reference's fp16
+    # kernels' x128 scale (hash_3d_anchored.cu:190,200,214-215). bf16
+    # keeps f32's exponent range so 1.0 (off) is numerically fine on
+    # TPU; set 128.0 for grad-parity experiments against the fp16 CUDA
+    # build. Powers of two are exact in floating point, so this is a
+    # pure numerics-ordering knob, not an approximation.
+    loss_scale: float = 1.0
     seed: int = 2022                # reference main.cpp:11
     ray_batch_size: int = 8192      # vis render chunk, train_manager.cpp:117
 

@@ -137,9 +137,19 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
                 warmup=step < cfg.model.occ_warmup_steps)
         else:
             occ_bits = None
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        scale = float(cfg.train.loss_scale)
+
+        def scaled_loss(*a):
+            # static loss scaling (reference fp16 kernels' x128,
+            # hash_3d_anchored.cu:190-215); metrics stay unscaled
+            loss, aux = loss_fn(*a)
+            return loss * scale, aux
+
+        (_, metrics), grads = jax.value_and_grad(scaled_loss, has_aux=True)(
             params, consts, poses, intrinsics, cam_idx, ij, gt, key,
             step, occ_bits)
+        if scale != 1.0:
+            grads = jax.tree_util.tree_map(lambda g: g / scale, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, occ_grid, metrics

@@ -144,3 +144,67 @@ def test_timestamp_interpolation(tmp_path):
     np.testing.assert_allclose(xq[2], [2, 2, 0], atol=1e-9)  # clamped
     np.testing.assert_allclose(np.linalg.norm(qq, axis=1), 1.0,
                                atol=1e-9)
+
+
+def test_pose_reflector_handle():
+    from pose_reflector import handle
+    r = handle({"cmd": "align", "pose": [[1.0, 2.0]], "covariance": [0.1]})
+    assert r["ok"] and r["success"]
+    assert r["pose"] == [[1.0, 2.0]] and r["covariance"] == [0.1]
+    assert handle({"cmd": "trigger", "data": True})["success"]
+    assert not handle({"cmd": "bogus"})["ok"]
+
+
+def test_pose_reflector_server_roundtrip():
+    import json
+    import socket
+    import threading
+
+    import pose_reflector
+
+    srv = pose_reflector.serve(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socket.create_connection(srv.server_address, timeout=10) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"cmd": "align", "pose": [1, 2, 3]}) + "\n")
+            f.flush()
+            r = json.loads(f.readline())
+        assert r["ok"] and r["pose"] == [1, 2, 3]
+    finally:
+        srv.shutdown()
+
+
+def test_replay_load_poses_and_test_mode(tmp_path):
+    import replay_dataset as rd
+
+    # pose.tsv source
+    rows = ["timestamp\tx\ty\tz\tqx\tqy\tqz\tqw",
+            "0.0\t1\t2\t3\t0\t0\t0\t1",
+            "1.0\t4\t5\t6\t0\t0\t0.7071068\t0.7071068"]
+    (tmp_path / "pose.tsv").write_text("\n".join(rows) + "\n")
+    poses = rd.load_poses(tmp_path, "auto")
+    assert poses.shape == (2, 4, 4)
+    np.testing.assert_allclose(poses[0, :3, 3], [1, 2, 3])
+    np.testing.assert_allclose(poses[1, :3, :3],
+                               [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6)
+
+    # cams_meta source
+    cams = np.zeros((3, 27), np.float32)
+    cams[:, :12] = np.tile(np.eye(4)[:3].ravel(), (3, 1))
+    np.save(tmp_path / "cams_meta.npy", cams)
+    poses2 = rd.load_poses(tmp_path, "cams_meta")
+    assert poses2.shape == (3, 4, 4)
+    np.testing.assert_allclose(poses2[0], np.eye(4))
+
+    # test_mode: 7 perturbed copies of frame 0 (reference main.py)
+    tposes, timgs = rd.apply_test_mode(poses, ["a.png", "b.png"])
+    assert tposes.shape == (7, 4, 4) and timgs == ["a.png"] * 7
+    np.testing.assert_allclose(tposes[1, 0, 3] - poses[0, 0, 3], 1.0)
+    np.testing.assert_allclose(tposes[2, 1, 3] - poses[0, 1, 3], 2.0)
+    np.testing.assert_allclose(tposes[3, 2, 3] - poses[0, 2, 3], 0.6)
+    for i in range(4, 7):  # rotated copies stay orthonormal
+        r = tposes[i, :3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+        assert not np.allclose(r, poses[0, :3, :3])

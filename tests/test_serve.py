@@ -86,3 +86,49 @@ def test_protocol(server):
     # bad command errors, connection survives
     bad = _rpc(addr, {"cmd": "nope"})
     assert not bad["ok"]
+
+
+def test_localize_auto_resizes_image(server):
+    """The reference node resizes incoming frames to the localizer
+    resolution before use (nerf_based_localizer.cpp:225-235)."""
+    srv, ds, core = server
+    addr = srv.server_address
+    pose_world = core.camera2world(ds.poses[1])
+    assert _rpc(addr, {"cmd": "init_pose", "pose": pose_world.tolist()})["ok"]
+
+    from f2nerf_tpu.utils.image_io import resize_image
+    big = resize_image(np.asarray(ds.images[1]), 40, 40)
+    r = _rpc(addr, {"cmd": "localize", "image": big.tolist(), "mode": 1})
+    assert r["ok"]
+    assert np.asarray(r["pose"]).shape == (4, 4)
+
+
+def test_replay_dataset_script(server, tmp_path, monkeypatch):
+    """scripts/replay_dataset.py drives the service in lock-step like the
+    reference's pose_and_image_publisher node, writing replay_log.tsv."""
+    import pathlib
+    import sys
+
+    srv, ds, core = server
+    scripts = pathlib.Path(__file__).parent.parent / "scripts"
+    monkeypatch.syspath_prepend(str(scripts))
+    import replay_dataset
+
+    from f2nerf_tpu.utils.image_io import write_image
+    ddir = tmp_path / "replay_ds"
+    (ddir / "images").mkdir(parents=True)
+    cams = np.zeros((2, 27), np.float32)
+    for i in range(2):
+        write_image(ddir / "images" / f"{i:04d}.png", np.asarray(ds.images[i]))
+        cams[i, :12] = core.camera2world(ds.poses[i])[:3, :4].ravel()
+    np.save(ddir / "cams_meta.npy", cams)
+
+    host, port = srv.server_address
+    monkeypatch.setattr(sys, "argv", [
+        "replay_dataset.py", str(ddir), "--host", str(host),
+        "--port", str(port), "--mode", "1"])
+    replay_dataset.main()
+
+    lines = (ddir / "replay_log.tsv").read_text().splitlines()
+    assert len(lines) == 3  # header + 2 frames
+    assert lines[0].split("\t")[:3] == ["frame", "score", "noise_coeff"]

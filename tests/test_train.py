@@ -101,6 +101,23 @@ class TestTrainer:
         m = tr.run(20)
         assert np.isfinite(m["loss"])
 
+    def test_loss_scale_equivalence(self, tiny_cfg, sphere_ds):
+        """Static loss scaling (reference fp16 kernels' x128 scale,
+        hash_3d_anchored.cu:190-215) is a pure numerics-ordering knob:
+        a power-of-two scale yields the same fp32 training trajectory."""
+        from f2nerf_tpu.train.loop import Trainer
+        cfg128 = dataclasses.replace(
+            tiny_cfg,
+            train=dataclasses.replace(tiny_cfg.train, loss_scale=128.0))
+        tr1 = Trainer(tiny_cfg, sphere_ds, result_dir=None)
+        tr1.run(15)
+        tr2 = Trainer(cfg128, sphere_ds, result_dir=None)
+        tr2.run(15)
+        for a, b in zip(jax.tree.leaves(jax.device_get(tr1.params)),
+                        jax.tree.leaves(jax.device_get(tr2.params))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
+
     def test_nan_raises(self, tiny_cfg, sphere_ds):
         """Reference CHECKs NaN each iter (train_manager.cpp:98-100)."""
         from f2nerf_tpu.train.loop import Trainer
