@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Resumable long-horizon quality run on a synthetic scene.
+
+The reference's quality check is a full 20k-step train followed by
+`test` (train_manager.cpp:58-158, test.cpp:11-58). This driver does the
+same against the procedural scenes, but resumable in time-budgeted
+slices (the TPU tunnel here is single-client and long foreground jobs
+must stay under ~10 min — see PLAN.md environment notes): each
+invocation resumes from the checkpoint, trains until the step target or
+the time budget, checkpoints, and reports. Re-run until it prints
+"done"; then it renders every view and writes summary.tsv
+(score = H*W/sum MSE, like the reference test driver).
+
+Example (8k-step flagship validation):
+  python scripts/quality_run.py /tmp/q_checker --scene checker \
+      --steps 8000 --rays 4096 --lr 5e-3 --var_loss_weight 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("result_dir", type=pathlib.Path)
+    ap.add_argument("--scene", choices=("checker", "sphere"),
+                    default="checker")
+    ap.add_argument("--n_images", type=int, default=16)
+    ap.add_argument("--hw", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--rays", type=int, default=4096)
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--var_loss_weight", type=float, default=None,
+                    help="override; default keeps the reference value")
+    ap.add_argument("--budget_s", type=float, default=540.0,
+                    help="wall budget for this invocation's training")
+    ap.add_argument("--slice_steps", type=int, default=500,
+                    help="steps between budget checks/checkpoints")
+    args = ap.parse_args()
+
+    from f2nerf_tpu.core.config import Config, TrainConfig
+    from f2nerf_tpu.data.synthetic import (make_checker_dataset,
+                                           make_sphere_dataset)
+    from f2nerf_tpu.models import renderer
+    from f2nerf_tpu.train.loop import Trainer
+    from f2nerf_tpu.utils.metrics import psnr
+
+    make = (make_checker_dataset if args.scene == "checker"
+            else make_sphere_dataset)
+    ds = make(n_images=args.n_images, h=args.hw, w=args.hw)
+
+    tkw = dict(pts_batch_size=args.rays * 512, end_iter=args.steps,
+               learning_rate=args.lr, report_freq=250,
+               vis_freq=max(args.steps // 4, 1), save_freq=10 ** 9)
+    if args.var_loss_weight is not None:
+        tkw["var_loss_weight"] = args.var_loss_weight
+    cfg = Config(train=TrainConfig(**tkw))
+
+    tr = Trainer(cfg, ds, result_dir=args.result_dir)
+    if tr.try_resume():
+        print(f"resumed at step {tr.step}")
+
+    t0 = time.monotonic()
+    while tr.step < args.steps and time.monotonic() - t0 < args.budget_s:
+        tr.run(min(args.slice_steps, args.steps - tr.step))
+        tr.save_checkpoint()
+        print(f"checkpointed at step {tr.step} "
+              f"({time.monotonic() - t0:.0f}s elapsed)", flush=True)
+
+    if tr.step < args.steps:
+        print(f"budget reached at step {tr.step}/{args.steps}; re-run "
+              "to continue")
+        return 1
+
+    # the reference test driver: render every pose, score per image
+    rows = []
+    for i in range(len(ds.images)):
+        ts = time.monotonic()
+        rgb, _ = renderer.render_image(
+            tr.params, tr.consts, tr.poses[i], tr.intrinsics[i],
+            ds.height, ds.width, cfg.model, chunk=16384,
+            occ_bits=tr.occ_bits())
+        dt = time.monotonic() - ts
+        rgb = np.asarray(rgb)
+        mse = float(((rgb - ds.images[i]) ** 2).sum())
+        score = rgb.size / max(mse, 1e-12)
+        rows.append((i, score, psnr(rgb, ds.images[i]), dt))
+        print(f"view {i:02d} score={score:.2f} psnr={rows[-1][2]:.2f} "
+              f"{dt * 1e3:.0f} ms", flush=True)
+
+    out = args.result_dir / "summary.tsv"
+    with open(out, "w") as f:
+        f.write("image_idx\tscore\tpsnr\ttime_s\n")
+        for r in rows:
+            f.write(f"{r[0]}\t{r[1]:.4f}\t{r[2]:.4f}\t{r[3]:.4f}\n")
+    ps = [r[2] for r in rows]
+    print(f"done: mean render PSNR {np.mean(ps):.2f} dB "
+          f"(min {np.min(ps):.2f}, max {np.max(ps):.2f}) -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
