@@ -118,6 +118,43 @@ class TestTrainer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-8)
 
+    def test_bf16_grad_parity(self, tiny_cfg, sphere_ds):
+        """bf16-feature gradients track the fp32 parity path (measured
+        max_rel 7e-3 on TPU, BENCH_NOTES.md; CPU accumulates f32 so the
+        tolerance here is the bf16 rounding of rows/features only)."""
+        import jax.numpy as jnp
+
+        from f2nerf_tpu.models import renderer
+        from f2nerf_tpu.train.step import make_loss_fn
+
+        ds = sphere_ds
+        rng = np.random.default_rng(3)
+        b = 256
+        cam = rng.integers(0, len(ds.images), b)
+        ij = rng.integers(0, ds.height, (b, 2))
+        gt = ds.images[cam, ij[:, 0], ij[:, 1]]
+        key = jax.random.key(1)
+
+        grads = {}
+        for name, bf16 in (("fp32", False), ("bf16", True)):
+            cfg = dataclasses.replace(tiny_cfg, model=dataclasses.replace(
+                tiny_cfg.model, bf16_features=bf16))
+            params, consts = renderer.init(jax.random.key(0), cfg.model,
+                                           len(ds.images))
+            lf = make_loss_fn(cfg)
+            g = jax.grad(lambda *a: lf(*a)[0])(
+                params, consts, jnp.asarray(ds.poses),
+                jnp.asarray(ds.intrinsics), jnp.asarray(cam),
+                jnp.asarray(ij), jnp.asarray(gt), key,
+                jnp.asarray(0), None)
+            grads[name] = jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float32), g)
+        for a, b_ in zip(jax.tree.leaves(grads["bf16"]),
+                         jax.tree.leaves(grads["fp32"])):
+            denom = max(float(np.sqrt((b_ ** 2).mean())), 1e-12)
+            rel_rmse = float(np.sqrt(((a - b_) ** 2).mean())) / denom
+            assert rel_rmse < 2e-2, rel_rmse
+
     def test_nan_raises(self, tiny_cfg, sphere_ds):
         """Reference CHECKs NaN each iter (train_manager.cpp:98-100)."""
         from f2nerf_tpu.train.loop import Trainer
