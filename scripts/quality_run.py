@@ -41,11 +41,21 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--var_loss_weight", type=float, default=None,
                     help="override; default keeps the reference value")
+    ap.add_argument("--var_loss_mode", default=None,
+                    choices=("weight_var", "distortion"))
+    ap.add_argument("--grad_clip_norm", type=float, default=None)
     ap.add_argument("--budget_s", type=float, default=540.0,
                     help="wall budget for this invocation's training")
     ap.add_argument("--slice_steps", type=int, default=500,
                     help="steps between budget checks/checkpoints")
     args = ap.parse_args()
+
+    # resumable slices re-jit the same program every invocation; the
+    # persistent cache turns the (up to ~8 min) recompile into seconds
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_compilation_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from f2nerf_tpu.core.config import Config, TrainConfig
     from f2nerf_tpu.data.synthetic import (make_checker_dataset,
@@ -63,6 +73,10 @@ def main() -> int:
                vis_freq=max(args.steps // 4, 1), save_freq=10 ** 9)
     if args.var_loss_weight is not None:
         tkw["var_loss_weight"] = args.var_loss_weight
+    if args.var_loss_mode is not None:
+        tkw["var_loss_mode"] = args.var_loss_mode
+    if args.grad_clip_norm is not None:
+        tkw["grad_clip_norm"] = args.grad_clip_norm
     cfg = Config(train=TrainConfig(**tkw))
 
     tr = Trainer(cfg, ds, result_dir=args.result_dir)
