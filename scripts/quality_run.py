@@ -95,6 +95,19 @@ def main() -> int:
               "to continue")
         return 1
 
+    # field-health diagnostics: the occupancy decision fraction and the
+    # mean-sigma EMA distribution expose density inflation (fog) long
+    # before it shows in train PSNR — see BENCH_NOTES.md "long-horizon
+    # density runaway"
+    ob = tr.occ_bits()
+    if ob is not None:
+        b = np.asarray(ob)
+        if b.ndim == 2:
+            occ = b[0] > 0
+            q50, q90 = np.percentile(b[1][occ], [50, 90])
+            print(f"occ diag: occupied {occ.mean():.3f} "
+                  f"mean-sigma p50 {q50:.2f} p90 {q90:.2f}")
+
     # the reference test driver: render every pose, score per image
     rows = []
     for i in range(len(ds.images)):
