@@ -146,16 +146,30 @@ def _jit_validate_render(cfg: ModelConfig, encode_fn, with_occ: bool):
 def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
                         rays_d: jnp.ndarray, cfg: ModelConfig,
                         chunk: int = 8192, encode_fn=None,
-                        occ_bits: jnp.ndarray | None = None
-                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                        occ_bits: jnp.ndarray | None = None,
+                        mesh=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """VALIDATE-mode render of many rays in fixed-size chunks.
 
     Reference Renderer::render_all_rays (src/renderer.cpp:125-151). Pads
     the final chunk so every call hits the same compiled shape.
+
+    With ``mesh`` (a ``jax.sharding.Mesh``), each chunk's rays are
+    sharded over the mesh's data axis and params/occ_bits replicated, so
+    the render runs SPMD across chips (net-new vs the single-GPU
+    reference — SURVEY §2.3).
     """
     n = rays_o.shape[0]
     with_occ = cfg.sampler_mode == "occ"
     fn = _jit_validate_render(cfg, encode_fn, with_occ)
+    ray_sharding = None
+    if mesh is not None:
+        from f2nerf_tpu.parallel import mesh as mesh_lib
+        chunk = -(-chunk // mesh.size) * mesh.size
+        ray_sharding = mesh_lib.data_sharding(mesh)
+        params = mesh_lib.replicate(mesh, params)
+        consts = mesh_lib.replicate(mesh, consts)
+        if occ_bits is not None:
+            occ_bits = mesh_lib.replicate(mesh, occ_bits)
     outs_c, outs_d = [], []
     for i in range(0, n, chunk):
         o = rays_o[i:i + chunk]
@@ -164,6 +178,9 @@ def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
         if pad:
             o = jnp.pad(o, ((0, pad), (0, 0)), constant_values=1.0)
             d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        if ray_sharding is not None:
+            o = jax.device_put(o, ray_sharding)
+            d = jax.device_put(d, ray_sharding)
         if with_occ:
             c, dep = fn(params, consts, o, d, occ_bits)
         else:
@@ -176,17 +193,18 @@ def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
 def render_image(params: Params, consts: Params, pose: jnp.ndarray,
                  intrinsic: jnp.ndarray,
                  h: int, w: int, cfg: ModelConfig, chunk: int = 8192,
-                 encode_fn=None, occ_bits: jnp.ndarray | None = None
-                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 encode_fn=None, occ_bits: jnp.ndarray | None = None,
+                 mesh=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render a full image; returns (rgb [H, W, 3] clipped, depth [H, W]).
 
-    Reference Renderer::render_image (src/renderer.cpp:153-172).
+    Reference Renderer::render_image (src/renderer.cpp:153-172); with
+    ``mesh``, rays are sharded across chips (see render_rays_chunked).
     """
     from f2nerf_tpu.core.cameras import pixel_grid, rays_from_pose
     ij = jnp.asarray(pixel_grid(h, w))
     rays_o, rays_d = rays_from_pose(pose[None], intrinsic[None], ij)
     colors, depths = render_rays_chunked(
         params, consts, rays_o, rays_d, cfg, chunk=chunk,
-        encode_fn=encode_fn, occ_bits=occ_bits)
+        encode_fn=encode_fn, occ_bits=occ_bits, mesh=mesh)
     rgb = jnp.clip(colors.reshape(h, w, 3), 0.0, 1.0)
     return rgb, depths.reshape(h, w)

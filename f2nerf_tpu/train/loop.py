@@ -231,7 +231,7 @@ class Trainer:
             self.params, self.consts, self.poses[0], self.intrinsics[0],
             ds.height, ds.width, self.cfg.model,
             chunk=self.cfg.train.ray_batch_size, encode_fn=self.encode_fn,
-            occ_bits=self.occ_bits())
+            occ_bits=self.occ_bits(), mesh=self.mesh)
         rgb = np.asarray(rgb)
         depth = np.asarray(depth)
         depth3 = np.repeat(depth[..., None], 3, axis=-1)

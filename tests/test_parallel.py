@@ -92,3 +92,24 @@ def test_mesh_helpers():
     assert arrs[0].sharding.spec == P("data")
     tree = mesh_lib.replicate(mesh, {"a": np.ones(3, np.float32)})
     assert tree["a"].sharding.spec == P()
+
+
+def test_sharded_render_image_matches_single(tiny_cfg):
+    """render_image(mesh=...) shards rays across chips and must match
+    the single-device render exactly (VALIDATE mode is deterministic)."""
+    from f2nerf_tpu.parallel import mesh as mesh_lib
+
+    key = jax.random.key(0)
+    params, consts = renderer.init(key, tiny_cfg.model, 4)
+    pose = jnp.eye(3, 4)
+    intr = jnp.asarray([[20.0, 0, 12.0], [0, 20.0, 12.0], [0, 0, 1.0]])
+    single = renderer.render_image(params, consts, pose, intr, 24, 24,
+                                   tiny_cfg.model, chunk=100)
+    mesh = mesh_lib.make_mesh()
+    # chunk=100 is not divisible by 8 — exercises the round-up
+    sharded = renderer.render_image(params, consts, pose, intr, 24, 24,
+                                    tiny_cfg.model, chunk=100, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(single[0]),
+                               np.asarray(sharded[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(single[1]),
+                               np.asarray(sharded[1]), atol=1e-5)
