@@ -112,6 +112,15 @@ class ModelConfig:
     occ_elig_tau_cap: float = 4.6
     # EMA rate of the mean-sigma channel (eligibility estimate)
     occ_mean_ema: float = 0.25
+    # exploration: in TRAIN, this fraction of rays ignores the
+    # transmittance cut (keep-slots stratify over ALL occupied
+    # segments). Hash collisions seed density in regions no ray
+    # samples; without exploration that fog is never supervised, the
+    # sigma-EMA refresh marks it opaque, the eligibility horizon creeps
+    # toward the camera, and quality decays over long runs (measured:
+    # 39 -> 24 PSNR between 6k and 14k steps at 4096-ray batches,
+    # BENCH_NOTES.md "long-horizon density runaway"). 0 disables.
+    occ_explore_eps: float = 0.1
 
     # Renderer
     trans_eps: float = 1e-4         # early-stop transmittance, src/renderer.cpp:65

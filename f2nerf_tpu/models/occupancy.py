@@ -204,6 +204,7 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         occ_seg = elig_seg = jnp.take(vals.astype(jnp.float32), cell,
                                       axis=0, mode="clip")
     occ = occ_seg > 0.0                             # [R, n_seg] bool
+    occ_all = occ
     if cfg.occ_trans_eps > 0.0:
         # transmittance-aware eligibility: drop segments behind an
         # estimated-opaque surface, T_est = exp(-cumsum_excl(tau)) from
@@ -220,6 +221,17 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         cum_tau = jnp.cumsum(tau, axis=-1) - tau     # exclusive
         occ = jnp.logical_and(occ, jnp.exp(-cum_tau)
                               > cfg.occ_trans_eps)
+
+    # exploration rays (TRAIN only): ignore the transmittance cut so
+    # regions behind the estimated horizon keep receiving supervision —
+    # hash-collision fog there is otherwise never corrected and the
+    # horizon creeps toward the camera over long runs (see
+    # ModelConfig.occ_explore_eps)
+    if key is not None and cfg.occ_explore_eps > 0.0:
+        key, key_explore = jax.random.split(key)
+        explore = jax.random.bernoulli(
+            key_explore, cfg.occ_explore_eps, (r, 1))
+        occ = jnp.where(explore, occ_all, occ)
 
     # 2. stratified ranks among the M occupied segments: slot j picks
     # occupied-rank floor((j + u) * M / K) — evenly spaced at u=0.5

@@ -212,6 +212,40 @@ class TestTransAwareEligibility:
         assert (t_valid < n_elig * seg_len).all()
         assert t_valid.size > 0
 
+    def test_explore_rays_bypass_transmittance_cut(self):
+        """occ_explore_eps rays ignore the estimated-opaque horizon so
+        regions behind it stay supervised (the long-horizon density
+        runaway fix, BENCH_NOTES.md)."""
+        import jax
+        cfg = self._cfg(occ_trans_eps=1e-6, occ_explore_eps=1.0)
+        g = cfg.occ_grid_res
+        grid = np.full((g, g, g), 1e5, np.float32)  # everything opaque
+        vals = jnp.asarray(grid.reshape(-1))
+        o = jnp.zeros((4, 3))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (4, 1))
+        march = cfg.n_samples * cfg.sample_l
+        seg_len = march / cfg.occ_segments
+        n_elig = int(np.floor(np.log(1.0 / cfg.occ_trans_eps)
+                              / cfg.occ_elig_tau_cap)) + 1
+
+        # eps=1: every (TRAIN) ray stratifies over the full march
+        s = occupancy.sample_rays_occ(o, d, vals, cfg,
+                                      key=jax.random.key(0))
+        t_valid = np.asarray(s.t)[np.asarray(s.valid)]
+        assert (t_valid > n_elig * seg_len).any()
+
+        # eps=0: the cut applies to every ray
+        cfg0 = self._cfg(occ_trans_eps=1e-6, occ_explore_eps=0.0)
+        s0 = occupancy.sample_rays_occ(o, d, vals, cfg0,
+                                       key=jax.random.key(0))
+        t0 = np.asarray(s0.t)[np.asarray(s0.valid)]
+        assert (t0 < n_elig * seg_len).all()
+
+        # VALIDATE (key=None) never explores regardless of eps
+        sv = occupancy.sample_rays_occ(o, d, vals, cfg, key=None)
+        tv = np.asarray(sv.t)[np.asarray(sv.valid)]
+        assert (tv < n_elig * seg_len).all()
+
     def test_eps_zero_matches_bool_bits(self, rng):
         """occ_trans_eps=0 with sigma values selects exactly the same
         segments as boolean bits."""
