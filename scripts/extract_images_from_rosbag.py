@@ -23,7 +23,7 @@ runs anywhere. Behavior mirrors the reference:
 * camera_info topics are saved as ``camera_info.yaml``.
 
 Usage:
-  python extract_images_from_rosbag.py <bag.db3> <calibration.yaml>
+  python extract_images_from_rosbag.py <bag.db3|bag.mcap> <calibration.yaml>
       <output_dir> [--skip N] [--image_topics ...] [--pose_topic ...]
 """
 
@@ -39,7 +39,7 @@ import yaml
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
 from interpolate import interpolate_at  # noqa: E402
-from rosbag_reader import decode, read_bag, stamp_to_sec  # noqa: E402
+from rosbag_reader import decode, read_bag_any, stamp_to_sec  # noqa: E402
 
 DEFAULT_IMAGE_TOPICS = [
     f"/sensing/camera/camera{i}/image_rect_color/compressed"
@@ -164,7 +164,7 @@ def main() -> None:
     pose_quat: list[np.ndarray] = []
 
     wanted = set(args.image_topics) | {args.pose_topic}
-    for topic, typ, ts_ns, data in read_bag(args.path_to_rosbag):
+    for topic, typ, ts_ns, data in read_bag_any(args.path_to_rosbag):
         if topic in args.image_topics:
             msg = decode(data, typ)
             frame_ids[topic] = msg["header"]["frame_id"]

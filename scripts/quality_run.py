@@ -46,8 +46,11 @@ def main() -> int:
     ap.add_argument("--grad_clip_norm", type=float, default=None)
     ap.add_argument("--budget_s", type=float, default=540.0,
                     help="wall budget for this invocation's training")
-    ap.add_argument("--slice_steps", type=int, default=500,
-                    help="steps between budget checks/checkpoints")
+    ap.add_argument("--slice_steps", type=int, default=250,
+                    help="steps between budget checks/checkpoints; keep"
+                         " small enough that compile + one tranche fits"
+                         " the caller's timeout (an external SIGKILL"
+                         " mid-step can wedge the TPU tunnel - PLAN.md)")
     args = ap.parse_args()
 
     # resumable slices re-jit the same program every invocation; the

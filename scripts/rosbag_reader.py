@@ -246,3 +246,164 @@ def stamp_to_sec(stamp: dict) -> float:
 def make_stamp(t_sec: float) -> dict:
     sec = int(t_sec)
     return {"sec": sec, "nanosec": int(round((t_sec - sec) * 1e9))}
+
+
+# --------------------------------------------------------------------------
+# mcap storage (rosbag2's other storage plugin; spec: mcap.dev, v0)
+# --------------------------------------------------------------------------
+
+_MCAP_MAGIC = b"\x89MCAP0\r\n"
+_OP_HEADER = 0x01
+_OP_FOOTER = 0x02
+_OP_SCHEMA = 0x03
+_OP_CHANNEL = 0x04
+_OP_MESSAGE = 0x05
+_OP_CHUNK = 0x06
+_OP_DATA_END = 0x0F
+
+
+def _mcap_string(buf: bytes, off: int) -> tuple[str, int]:
+    n = struct.unpack_from("<I", buf, off)[0]
+    return buf[off + 4:off + 4 + n].decode(), off + 4 + n
+
+
+def _mcap_records(buf: bytes, off: int = 0) -> Iterator[tuple[int, bytes]]:
+    """Yield (opcode, content) records from a record stream."""
+    end = len(buf)
+    while off < end:
+        op = buf[off]
+        n = struct.unpack_from("<Q", buf, off + 1)[0]
+        yield op, buf[off + 9:off + 9 + n]
+        off += 9 + n
+
+
+def _mcap_decompress(compression: str, data: bytes,
+                     uncompressed_size: int) -> bytes:
+    if compression in ("", "none"):
+        return data
+    if compression == "zstd":
+        import zstandard
+        return zstandard.ZstdDecompressor().decompress(
+            data, max_output_size=uncompressed_size)
+    if compression == "lz4":
+        try:
+            import lz4.frame
+        except ImportError as e:
+            raise RuntimeError(
+                "bag uses lz4-compressed chunks and the lz4 module is "
+                "not installed; re-record with zstd/none or install "
+                "lz4") from e
+        return lz4.frame.decompress(data)
+    raise RuntimeError(f"unknown mcap chunk compression {compression!r}")
+
+
+def read_bag_mcap(path: str, topics: list[str] | None = None
+                  ) -> Iterator[tuple[str, str, int, bytes]]:
+    """Yield (topic_name, type_name, log_time_ns, cdr_bytes) in time
+    order from an mcap rosbag2 file (ros2 profile: schema name is the
+    ROS type, message encoding cdr). Chunked (none/zstd/lz4) and
+    unchunked files both work; messages are collected and sorted by
+    log_time to match :func:`read_bag`'s ordering contract."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:8] != _MCAP_MAGIC:
+        raise RuntimeError(f"{path}: not an mcap file")
+    schemas: dict[int, str] = {}        # schema_id -> type name
+    channels: dict[int, tuple[str, str]] = {}  # chan id -> (topic, type)
+    out: list[tuple[str, str, int, bytes]] = []
+
+    def handle(op: int, content: bytes) -> None:
+        if op == _OP_SCHEMA:
+            sid = struct.unpack_from("<H", content, 0)[0]
+            name, _ = _mcap_string(content, 2)
+            schemas[sid] = name   # ros2 profile: schema name IS the type
+        elif op == _OP_CHANNEL:
+            cid, sid = struct.unpack_from("<HH", content, 0)
+            topic, _ = _mcap_string(content, 4)
+            channels[cid] = (topic, schemas.get(sid, ""))
+        elif op == _OP_MESSAGE:
+            cid = struct.unpack_from("<H", content, 0)[0]
+            log_time = struct.unpack_from("<Q", content, 6)[0]
+            name, typ = channels[cid]
+            if topics is None or name in topics:
+                out.append((name, typ, log_time, content[22:]))
+        elif op == _OP_CHUNK:
+            usize = struct.unpack_from("<Q", content, 16)[0]
+            compression, off = _mcap_string(content, 28)
+            rec_len = struct.unpack_from("<Q", content, off)[0]
+            records = _mcap_decompress(
+                compression, content[off + 8:off + 8 + rec_len], usize)
+            for op2, c2 in _mcap_records(records):
+                handle(op2, c2)
+
+    for op, content in _mcap_records(buf, 8):
+        if op in (_OP_DATA_END, _OP_FOOTER):
+            break
+        handle(op, content)
+    out.sort(key=lambda m: m[2])
+    yield from out
+
+
+def _mcap_record(op: int, content: bytes) -> bytes:
+    return bytes([op]) + struct.pack("<Q", len(content)) + content
+
+
+def _mcap_str(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def write_bag_mcap(path: str,
+                   messages: list[tuple[str, str, int, bytes]],
+                   compression: str = "") -> None:
+    """Write records as a minimal valid mcap file (ros2 profile). With
+    ``compression='zstd'`` the messages go into one compressed chunk —
+    used by tests to exercise the chunked read path."""
+    schemas: dict[str, int] = {}
+    channels: dict[str, int] = {}
+    defs = b""
+    body = b""
+    for topic, typ, ts, data in sorted(messages, key=lambda m: m[2]):
+        if typ not in schemas:
+            schemas[typ] = len(schemas) + 1
+            defs += _mcap_record(
+                _OP_SCHEMA, struct.pack("<H", schemas[typ])
+                + _mcap_str(typ) + _mcap_str("ros2msg")
+                + struct.pack("<I", 0))
+        if topic not in channels:
+            channels[topic] = len(channels) + 1
+            defs += _mcap_record(
+                _OP_CHANNEL, struct.pack("<HH", channels[topic],
+                                         schemas[typ])
+                + _mcap_str(topic) + _mcap_str("cdr")
+                + struct.pack("<I", 0))
+        body += _mcap_record(
+            _OP_MESSAGE, struct.pack("<HIQQ", channels[topic], 0, ts, ts)
+            + data)
+    records = defs + body
+    if compression == "zstd":
+        import zstandard
+        comp = zstandard.ZstdCompressor().compress(records)
+        t0 = min((m[2] for m in messages), default=0)
+        t1 = max((m[2] for m in messages), default=0)
+        payload = (struct.pack("<QQQI", t0, t1, len(records), 0)
+                   + _mcap_str("zstd")
+                   + struct.pack("<Q", len(comp)) + comp)
+        records = _mcap_record(_OP_CHUNK, payload)
+    out = (_MCAP_MAGIC
+           + _mcap_record(_OP_HEADER, _mcap_str("ros2") + _mcap_str(""))
+           + records
+           + _mcap_record(_OP_DATA_END, struct.pack("<I", 0))
+           + _mcap_record(_OP_FOOTER, struct.pack("<QQI", 0, 0, 0))
+           + _MCAP_MAGIC)
+    with open(path, "wb") as fh:
+        fh.write(out)
+
+
+def read_bag_any(path: str, topics: list[str] | None = None
+                 ) -> Iterator[tuple[str, str, int, bytes]]:
+    """Dispatch on storage format: .mcap or sqlite3 (.db3 / anything
+    else, matching rosbag2's default)."""
+    if str(path).endswith(".mcap"):
+        return read_bag_mcap(path, topics)
+    return read_bag(path, topics)

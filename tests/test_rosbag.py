@@ -170,3 +170,56 @@ class TestExtraction:
         from PIL import Image
         got = np.asarray(Image.open(pngs[0]))
         np.testing.assert_array_equal(got, imgs[0])
+
+
+class TestMcap:
+    def test_roundtrip_plain_and_zstd(self, tmp_path, rng):
+        from rosbag_reader import read_bag_any, read_bag_mcap, write_bag_mcap
+        ref = _build_bag(tmp_path / "ref.db3", rng)
+        del ref
+        msgs = list(read_bag(str(tmp_path / "ref.db3")))
+        for comp in ("", "zstd"):
+            p = tmp_path / f"bag_{comp or 'none'}.mcap"
+            write_bag_mcap(str(p), msgs, compression=comp)
+            back = list(read_bag_mcap(str(p)))
+            assert back == msgs          # same (topic, type, ts, bytes)
+            # dispatch helper picks the mcap path by extension
+            assert list(read_bag_any(str(p))) == msgs
+
+    def test_topic_filter_and_magic_check(self, tmp_path, rng):
+        from rosbag_reader import read_bag_mcap, write_bag_mcap
+        _build_bag(tmp_path / "ref.db3", rng)
+        msgs = list(read_bag(str(tmp_path / "ref.db3")))
+        p = tmp_path / "bag.mcap"
+        write_bag_mcap(str(p), msgs, compression="zstd")
+        only = [m for m in read_bag_mcap(
+            str(p), topics=[msgs[0][0]])]
+        assert only and all(m[0] == msgs[0][0] for m in only)
+        bad = tmp_path / "bad.mcap"
+        bad.write_bytes(b"not an mcap")
+        with pytest.raises(RuntimeError):
+            list(read_bag_mcap(str(bad)))
+
+    def test_extraction_from_mcap(self, tmp_path, rng):
+        """The end-to-end extraction pipeline reads .mcap via the
+        dispatching reader."""
+        from rosbag_reader import write_bag_mcap
+        imgs = _build_bag(tmp_path / "ref.db3", rng)
+        msgs = list(read_bag(str(tmp_path / "ref.db3")))
+        bag = tmp_path / "bag.mcap"
+        write_bag_mcap(str(bag), msgs, compression="zstd")
+        calib = {"base_link": {"sensor_kit_base_link": {"x": 0.5}},
+                 "sensor_kit_base_link": {"camera0": {"z": 1.0}}}
+        calib_p = tmp_path / "calib.yaml"
+        calib_p.write_text(yaml.safe_dump(calib))
+        out = tmp_path / "out"
+        r = subprocess.run(
+            [sys.executable, str(SCRIPTS / "extract_images_from_rosbag.py"),
+             str(bag), str(calib_p), str(out),
+             "--image_topics",
+             "/sensing/camera/camera0/image_rect_color/compressed"],
+            capture_output=True, text=True,
+            env={"PYTHONPATH": str(SCRIPTS.parent), "PATH": "/usr/bin:/bin",
+                 "JAX_PLATFORMS": "cpu", "HOME": "/root"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert len(sorted((out / "images").glob("*.png"))) == len(imgs)
