@@ -86,6 +86,40 @@ def bench_devices(n_devices: int, cfg, iters: int) -> float:
     return iters * batch / dt
 
 
+def bench_render(n_devices: int, cfg, iters: int) -> float:
+    """Rays/s of the mesh-sharded VALIDATE render (render_rays_chunked
+    with mesh=...), the full-image/novel-view serving path."""
+    import jax
+    from jax.sharding import Mesh
+
+    from f2nerf_tpu.models import renderer
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("data",))
+    params, consts = renderer.init(jax.random.key(0), cfg.model, 8)
+    batch = cfg.train.rays_per_step
+    rng = np.random.default_rng(0)
+    rays_o = rng.normal(0, 0.3, (batch, 3)).astype(np.float32)
+    rays_d = rng.normal(0, 1.0, (batch, 3)).astype(np.float32)
+    occ = None
+    if cfg.model.sampler_mode == "occ":
+        from f2nerf_tpu.models import occupancy
+        occ = occupancy.occ_values(occupancy.init_grid(cfg.model),
+                                   cfg.model, warmup=True)
+
+    def run():
+        c, _ = renderer.render_rays_chunked(
+            params, consts, rays_o, rays_d, cfg.model, chunk=batch,
+            occ_bits=occ, mesh=mesh)
+        return float(np.asarray(c).sum())  # force completion
+
+    run()                                  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = time.perf_counter() - t0
+    return iters * batch / dt
+
+
 def main() -> None:
     from f2nerf_tpu.core.config import Config
     from f2nerf_tpu.parallel.mesh import maybe_initialize_distributed
@@ -96,6 +130,8 @@ def main() -> None:
     ap.add_argument("--rays", type=int, default=None)
     ap.add_argument("--counts", type=str, default=None,
                     help="comma-separated device counts (default sweep)")
+    ap.add_argument("--mode", choices=("train", "render"),
+                    default="train")
     args = ap.parse_args()
 
     maybe_initialize_distributed()
@@ -115,8 +151,9 @@ def main() -> None:
     else:
         counts = [c for c in [1, 2, 4, 8, 16, 32] if c <= n_total]
     results = {}
+    fn = bench_devices if args.mode == "train" else bench_render
     for c in counts:
-        rate = bench_devices(c, cfg, args.iters)
+        rate = fn(c, cfg, args.iters)
         results[c] = rate
         print(json.dumps({"devices": c, "rays_per_s": round(rate, 1),
                           "rays_per_s_per_chip": round(rate / c, 1)}))
