@@ -81,10 +81,14 @@ def cmd_test(result_dir: str, dataset_dir: str) -> None:
           f"average_score={np.mean(scores):.3f}")
 
 
-def cmd_infer(result_dir: str, dataset_dir: str) -> None:
+def cmd_infer(result_dir: str, dataset_dir: str,
+              resize_factor: int = 32) -> None:
     """Reference infer (src/main_functions/infer.cpp:15-102): per image,
     perturb the pose in 8 directions and recover it with 10 iterations
-    of differentiable optimization; write position.tsv + step images."""
+    of differentiable optimization; write position.tsv + step images.
+    resize_factor defaults to the reference's hardcoded 32 (sized for
+    ~2k-pixel vehicle footage); pass a smaller value as the third CLI
+    arg for lower-resolution datasets."""
     from f2nerf_tpu.data.dataset import load_dataset
     from f2nerf_tpu.localize.localizer import Localizer, LocalizerParam
     from f2nerf_tpu.utils.image_io import resize_image, write_image
@@ -96,7 +100,7 @@ def cmd_infer(result_dir: str, dataset_dir: str) -> None:
 
     ds = load_dataset(dataset_dir)
     core = Localizer.from_checkpoint(
-        result_dir, LocalizerParam(resize_factor=32))
+        result_dir, LocalizerParam(resize_factor=resize_factor))
     save_dir = pathlib.Path(result_dir) / "inference_result"
     noise = 0.5 / core.radius
     opt_times = []
@@ -207,7 +211,8 @@ def main(argv=None) -> int:
     elif args.command == "test":
         cmd_test(args.result_dir, args.extra[0])
     elif args.command == "infer":
-        cmd_infer(args.result_dir, args.extra[0])
+        cmd_infer(args.result_dir, args.extra[0],
+                  *(int(a) for a in args.extra[1:2]))
     elif args.command == "walk":
         cmd_walk(args.result_dir)
     elif args.command == "render":
