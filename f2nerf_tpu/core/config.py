@@ -112,15 +112,24 @@ class ModelConfig:
     occ_elig_tau_cap: float = 4.6
     # EMA rate of the mean-sigma channel (eligibility estimate)
     occ_mean_ema: float = 0.25
-    # exploration: in TRAIN, this fraction of rays ignores the
-    # transmittance cut (keep-slots stratify over ALL occupied
-    # segments). Hash collisions seed density in regions no ray
-    # samples; without exploration that fog is never supervised, the
-    # sigma-EMA refresh marks it opaque, the eligibility horizon creeps
-    # toward the camera, and quality decays over long runs (measured:
-    # 39 -> 24 PSNR between 6k and 14k steps at 4096-ray batches,
-    # BENCH_NOTES.md "long-horizon density runaway"). 0 disables.
-    occ_explore_eps: float = 0.1
+    # exploration against the long-horizon density runaway (hash
+    # collisions seed density in regions no ray samples; without
+    # exploration that fog is never supervised, the sigma-EMA refresh
+    # marks it opaque, the eligibility horizon creeps toward the camera,
+    # and quality decays over long runs — measured 39 -> 24 PSNR between
+    # 6k and 14k steps at 4096-ray batches, BENCH_NOTES.md).
+    #
+    # occ_explore_slots: in TRAIN, the last N keep-slots of EVERY ray
+    # stratify over all occupied segments (not just the
+    # transmittance-eligible ones) — each ray keeps keep-N slots of
+    # surface budget while the batch collectively supervises the space
+    # behind the estimated horizon. Preferred mechanism; 0 disables.
+    occ_explore_slots: int = 1
+    # occ_explore_eps: alternatively, this fraction of rays ignores the
+    # transmittance cut entirely. Measured worse than slot exploration
+    # (whole-ray spread reconstructs the surface poorly and fights the
+    # distortion loss at full ramp weight). 0 disables (default).
+    occ_explore_eps: float = 0.0
 
     # Renderer
     trans_eps: float = 1e-4         # early-stop transmittance, src/renderer.cpp:65

@@ -237,6 +237,19 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     # occupied-rank floor((j + u) * M / K) — evenly spaced at u=0.5
     # (VALIDATE), jittered per (ray, slot) in TRAIN so the fixed pattern
     # cannot systematically miss thin structures when M > K.
+    #
+    # Exploration SLOTS (TRAIN only): the last occ_explore_slots slots
+    # stratify over ALL occupied segments instead of only the
+    # transmittance-eligible ones. Every ray keeps (keep - n_exp) slots
+    # of surface budget while collectively the batch sweeps the space
+    # behind the estimated horizon, where hash-collision fog is
+    # otherwise never supervised (the long-horizon density runaway,
+    # BENCH_NOTES.md). Full-ray exploration (occ_explore_eps) measured
+    # worse: rays that spend their whole budget spread reconstruct the
+    # surface poorly and fight the distortion loss.
+    n_exp = (min(cfg.occ_explore_slots, keep - 1)
+             if key is not None else 0)
+    k_base = keep - n_exp
     occ_i = occ.astype(jnp.int32)
     cum = jnp.cumsum(occ_i, axis=-1)                # [R, n_seg]
     m = cum[:, -1:]                                 # [R, 1]
@@ -248,13 +261,31 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         key_rank, key_within = jax.random.split(key)
         u = jax.random.uniform(key_rank, (r, keep))
     ranks = jnp.where(
-        m > keep,
-        jnp.floor((j + u) * m.astype(jnp.float32) / keep),
+        m > k_base,
+        jnp.floor((j + u) * m.astype(jnp.float32) / k_base),
         j).astype(jnp.int32)                        # [R, keep]
-    valid_seg = ranks < m                           # [R, keep]
+    if n_exp:
+        cum_all = jnp.cumsum(occ_all.astype(jnp.int32), axis=-1)
+        m_all = cum_all[:, -1:]
+        jj = j - k_base                              # index among explore
+        ranks_exp = jnp.floor(
+            (jj + u) * m_all.astype(jnp.float32) / n_exp).astype(
+            jnp.int32)
+        is_exp = jnp.arange(keep)[None, :] >= k_base  # [1, keep]
+        ranks = jnp.where(is_exp, ranks_exp, ranks)
+        m_sel = jnp.where(is_exp, m_all, m)          # [R, keep]
+        cum_sel = jnp.where(is_exp[:, :, None], cum_all[:, None, :],
+                            cum[:, None, :])         # [R, keep, n_seg]
+        occ_sel = jnp.where(is_exp[:, :, None], occ_all[:, None, :],
+                            occ[:, None, :])
+    else:
+        m_sel = m
+        cum_sel = cum[:, None, :]
+        occ_sel = occ[:, None, :]
+    valid_seg = ranks < m_sel                       # [R, keep]
 
     # 3. rank -> segment index: unique s with occ[s] & cum[s] == rank+1
-    hit = (cum[:, None, :] == (ranks + 1)[:, :, None]) & occ[:, None, :]
+    hit = (cum_sel == (ranks + 1)[:, :, None]) & occ_sel
     seg_idx = jnp.sum(
         hit * jnp.arange(n_seg, dtype=jnp.int32)[None, None, :],
         axis=-1)                                    # [R, keep]

@@ -212,12 +212,48 @@ class TestTransAwareEligibility:
         assert (t_valid < n_elig * seg_len).all()
         assert t_valid.size > 0
 
+    def test_explore_slots_bypass_transmittance_cut(self):
+        """Exploration slots stratify over all occupied segments so
+        regions behind the estimated-opaque horizon stay supervised
+        (the long-horizon density runaway fix, BENCH_NOTES.md), while
+        the other slots keep concentrating on the eligible prefix."""
+        import jax
+        cfg = self._cfg(occ_trans_eps=1e-6, occ_explore_slots=1,
+                        occ_explore_eps=0.0)
+        g = cfg.occ_grid_res
+        grid = np.full((g, g, g), 1e5, np.float32)
+        vals = jnp.asarray(grid.reshape(-1))
+        o = jnp.zeros((8, 3))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (8, 1))
+        march = cfg.n_samples * cfg.sample_l
+        seg_len = march / cfg.occ_segments
+        n_elig = int(np.floor(np.log(1.0 / cfg.occ_trans_eps)
+                              / cfg.occ_elig_tau_cap)) + 1
+
+        s = occupancy.sample_rays_occ(o, d, vals, cfg,
+                                      key=jax.random.key(0))
+        sps = cfg.occ_samples_per_segment
+        t = np.asarray(s.t).reshape(8, cfg.occ_keep, sps)
+        valid = np.asarray(s.valid).reshape(8, cfg.occ_keep, sps)
+        # base slots stay in the eligible prefix
+        base = t[:, :cfg.occ_keep - 1][valid[:, :cfg.occ_keep - 1]]
+        assert (base < n_elig * seg_len).all()
+        # the exploration slot reaches beyond it for some rays
+        exp = t[:, -1][valid[:, -1]]
+        assert (exp > n_elig * seg_len).any()
+
+        # VALIDATE (key=None): no exploration, deterministic renders
+        sv = occupancy.sample_rays_occ(o, d, vals, cfg, key=None)
+        tv = np.asarray(sv.t)[np.asarray(sv.valid)]
+        assert (tv < n_elig * seg_len).all()
+
     def test_explore_rays_bypass_transmittance_cut(self):
         """occ_explore_eps rays ignore the estimated-opaque horizon so
         regions behind it stay supervised (the long-horizon density
         runaway fix, BENCH_NOTES.md)."""
         import jax
-        cfg = self._cfg(occ_trans_eps=1e-6, occ_explore_eps=1.0)
+        cfg = self._cfg(occ_trans_eps=1e-6, occ_explore_eps=1.0,
+                        occ_explore_slots=0)
         g = cfg.occ_grid_res
         grid = np.full((g, g, g), 1e5, np.float32)  # everything opaque
         vals = jnp.asarray(grid.reshape(-1))
@@ -235,7 +271,8 @@ class TestTransAwareEligibility:
         assert (t_valid > n_elig * seg_len).any()
 
         # eps=0: the cut applies to every ray
-        cfg0 = self._cfg(occ_trans_eps=1e-6, occ_explore_eps=0.0)
+        cfg0 = self._cfg(occ_trans_eps=1e-6, occ_explore_eps=0.0,
+                 occ_explore_slots=0)
         s0 = occupancy.sample_rays_occ(o, d, vals, cfg0,
                                        key=jax.random.key(0))
         t0 = np.asarray(s0.t)[np.asarray(s0.valid)]
