@@ -86,12 +86,31 @@ def main() -> int:
     if tr.try_resume():
         print(f"resumed at step {tr.step}")
 
+    # graceful SIGTERM (what `timeout` sends first): finish the current
+    # 50-step tranche, checkpoint, and exit — killing the process
+    # mid-dispatch has repeatedly wedged the single-client TPU tunnel
+    import signal
+    got_term = {"v": False}
+    signal.signal(signal.SIGTERM,
+                  lambda *_: got_term.update(v=True))
+
     t0 = time.monotonic()
-    while tr.step < args.steps and time.monotonic() - t0 < args.budget_s:
-        tr.run(min(args.slice_steps, args.steps - tr.step))
+    last_ckpt = tr.step
+    while (tr.step < args.steps and not got_term["v"]
+           and time.monotonic() - t0 < args.budget_s):
+        tr.run(min(50, args.steps - tr.step))
+        if tr.step - last_ckpt >= args.slice_steps or got_term["v"]:
+            tr.save_checkpoint()
+            last_ckpt = tr.step
+            print(f"checkpointed at step {tr.step} "
+                  f"({time.monotonic() - t0:.0f}s elapsed)", flush=True)
+    if tr.step > last_ckpt:
         tr.save_checkpoint()
         print(f"checkpointed at step {tr.step} "
               f"({time.monotonic() - t0:.0f}s elapsed)", flush=True)
+    if got_term["v"]:
+        print(f"SIGTERM: checkpointed at step {tr.step}, exiting")
+        return 1
 
     if tr.step < args.steps:
         print(f"budget reached at step {tr.step}/{args.steps}; re-run "
