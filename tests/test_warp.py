@@ -91,3 +91,17 @@ def test_warp_checkpoint_roundtrip(tiny_cfg, sphere_ds, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(tr.consts["field"]["warp_rows"]),
         np.asarray(tr2.consts["field"]["warp_rows"]))
+
+
+def test_warp_mode_with_occ_sampler_trains(occ_cfg, sphere_ds):
+    """Perspective warp composes with the occupancy sampler (the warp
+    reindexes encode inputs; the sampler's eligibility/exploration path
+    is untouched)."""
+    from f2nerf_tpu.train.loop import Trainer
+    cfg = dataclasses.replace(
+        occ_cfg,
+        model=dataclasses.replace(occ_cfg.model, warp_mode="perspective",
+                                  warp_n_regions=4, warp_n_cams=3))
+    tr = Trainer(cfg, sphere_ds, result_dir=None)
+    m = tr.run(20)
+    assert np.isfinite(m["loss"])
