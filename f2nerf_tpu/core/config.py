@@ -223,6 +223,27 @@ class Config:
                               var_loss_start=50, var_loss_end=100),
         )
 
+    @staticmethod
+    def quality(end_iter: int = 20000) -> "Config":
+        """Measured-best long-horizon quality operating point.
+
+        The reference trains 512 rays/step at lr 1e-2
+        (confs/train_config.yaml:4-7). On TPU the occupancy sampler
+        sustains much larger batches; the validated settings at
+        4096 rays/step are lr 5e-3 (1e-2 hits an edge-of-stability
+        collapse ~4k steps at this batch size) and the normalized
+        distortion loss at weight 1e-3 (the reference's unnormalized
+        weight-variance at 1e-2 suppresses legitimately-spread geometry
+        under occupancy sampling; measurements in BENCH_NOTES.md).
+        """
+        return Config(
+            train=TrainConfig(pts_batch_size=4096 * 512,
+                              end_iter=end_iter,
+                              learning_rate=5e-3,
+                              var_loss_mode="distortion",
+                              var_loss_weight=1e-3),
+        )
+
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
 
