@@ -235,13 +235,22 @@ class Config:
         distortion loss at weight 1e-3 (the reference's unnormalized
         weight-variance at 1e-2 suppresses legitimately-spread geometry
         under occupancy sampling; measurements in BENCH_NOTES.md).
+
+        The var-loss ramp and LR warmup scale with ``end_iter`` (at the
+        reference's 20k they equal the reference's 5k->10k ramp and 1k
+        warmup, confs/train_config.yaml:10-15); a fixed 5000-step start
+        would silently disable the distortion loss for short runs.
         """
         return Config(
             train=TrainConfig(pts_batch_size=4096 * 512,
                               end_iter=end_iter,
                               learning_rate=5e-3,
+                              learning_rate_warm_up_end_iter=max(
+                                  end_iter // 20, 1),
                               var_loss_mode="distortion",
-                              var_loss_weight=1e-3),
+                              var_loss_weight=1e-3,
+                              var_loss_start=end_iter // 4,
+                              var_loss_end=end_iter // 2),
         )
 
     def to_dict(self) -> dict[str, Any]:

@@ -11,9 +11,20 @@ the time budget, checkpoints, and reports. Re-run until it prints
 "done"; then it renders every view and writes summary.tsv
 (score = H*W/sum MSE, like the reference test driver).
 
-Example (8k-step flagship validation):
-  python scripts/quality_run.py /tmp/q_checker --scene checker \
-      --steps 8000 --rays 4096 --lr 5e-3 --var_loss_weight 0
+The base operating point is ``Config.quality(steps)`` (the validated
+flagship: 4096-ray batches @ lr 5e-3, normalized distortion loss at
+1e-3 ramping over the middle half of the schedule); CLI flags override
+individual fields via ``dataclasses.replace`` so this driver and the
+preset cannot drift (ADVICE.md round 1).
+
+``--holdout k`` withholds every k-th view from training and reports its
+render PSNR separately — the reference's test driver scores only train
+poses (src/main_functions/test.cpp:27-41), which on a 16-view scene can
+hide overfitting.
+
+Example (20k-step flagship validation):
+  python scripts/quality_run.py /tmp/q20k --scene checker --steps 20000 \
+      --holdout 8
 """
 
 from __future__ import annotations
@@ -37,8 +48,22 @@ def main() -> int:
     ap.add_argument("--n_images", type=int, default=16)
     ap.add_argument("--hw", type=int, default=128)
     ap.add_argument("--steps", type=int, default=8000)
-    ap.add_argument("--rays", type=int, default=4096)
-    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--rays", type=int, default=None,
+                    help="override; default from Config.quality()")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override; default from Config.quality()")
+    ap.add_argument("--holdout", type=int, default=0,
+                    help="withhold every k-th view from training and "
+                         "score it separately (0 = train on all views)")
+    ap.add_argument("--sampler", default=None,
+                    choices=("occ", "dense"),
+                    help="override ModelConfig.sampler_mode")
+    ap.add_argument("--n_levels", type=int, default=None)
+    ap.add_argument("--n_channels", type=int, default=None)
+    ap.add_argument("--warp_mode", default=None,
+                    choices=("contract", "perspective"))
+    ap.add_argument("--occ_thresh", type=float, default=None)
+    ap.add_argument("--occ_decay", type=float, default=None)
     ap.add_argument("--var_loss_weight", type=float, default=None,
                     help="override; default keeps the reference value")
     ap.add_argument("--var_loss_mode", default=None,
@@ -60,7 +85,9 @@ def main() -> int:
                       "/tmp/jax_compilation_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
-    from f2nerf_tpu.core.config import Config, TrainConfig
+    import jax.numpy as jnp
+
+    from f2nerf_tpu.core.config import Config
     from f2nerf_tpu.data.synthetic import (make_checker_dataset,
                                            make_sphere_dataset)
     from f2nerf_tpu.models import renderer
@@ -70,19 +97,36 @@ def main() -> int:
     make = (make_checker_dataset if args.scene == "checker"
             else make_sphere_dataset)
     ds = make(n_images=args.n_images, h=args.hw, w=args.hw)
+    held, train_ds = [], ds
+    if args.holdout > 0:
+        held = list(range(0, ds.n_images, args.holdout))
+        keep = [i for i in range(ds.n_images) if i not in held]
+        train_ds = dataclasses.replace(
+            ds, poses=ds.poses[keep], intrinsics=ds.intrinsics[keep],
+            dist_params=ds.dist_params[keep], bounds=ds.bounds[keep],
+            images=ds.images[keep])
+        print(f"holding out views {held} ({len(keep)} train views)")
 
-    tkw = dict(pts_batch_size=args.rays * 512, end_iter=args.steps,
-               learning_rate=args.lr, report_freq=250,
-               vis_freq=max(args.steps // 4, 1), save_freq=10 ** 9)
-    if args.var_loss_weight is not None:
-        tkw["var_loss_weight"] = args.var_loss_weight
-    if args.var_loss_mode is not None:
-        tkw["var_loss_mode"] = args.var_loss_mode
-    if args.grad_clip_norm is not None:
-        tkw["grad_clip_norm"] = args.grad_clip_norm
-    cfg = Config(train=TrainConfig(**tkw))
+    cfg = Config.quality(args.steps)
+    tkw = dict(report_freq=250, vis_freq=max(args.steps // 4, 1),
+               save_freq=10 ** 9)
+    if args.rays is not None:
+        tkw["pts_batch_size"] = args.rays * 512
+    if args.lr is not None:
+        tkw["learning_rate"] = args.lr
+    for name in ("var_loss_weight", "var_loss_mode", "grad_clip_norm"):
+        if getattr(args, name) is not None:
+            tkw[name] = getattr(args, name)
+    mkw = {}
+    for src, dst in (("sampler", "sampler_mode"), ("n_levels", "n_levels"),
+                     ("n_channels", "n_channels"), ("warp_mode", "warp_mode"),
+                     ("occ_thresh", "occ_thresh"), ("occ_decay", "occ_decay")):
+        if getattr(args, src) is not None:
+            mkw[dst] = getattr(args, src)
+    cfg = Config(train=dataclasses.replace(cfg.train, **tkw),
+                 model=dataclasses.replace(cfg.model, **mkw))
 
-    tr = Trainer(cfg, ds, result_dir=args.result_dir)
+    tr = Trainer(cfg, train_ds, result_dir=args.result_dir)
     if tr.try_resume():
         print(f"resumed at step {tr.step}")
 
@@ -130,30 +174,36 @@ def main() -> int:
             print(f"occ diag: occupied {occ.mean():.3f} "
                   f"mean-sigma p50 {q50:.2f} p90 {q90:.2f}")
 
-    # the reference test driver: render every pose, score per image
+    # the reference test driver: render every pose, score per image.
+    # Held-out views (never trained on) are scored in the same pass and
+    # marked in summary.tsv; their mean is the overfitting-safe number.
     rows = []
-    for i in range(len(ds.images)):
+    for i in range(ds.n_images):
         ts = time.monotonic()
         rgb, _ = renderer.render_image(
-            tr.params, tr.consts, tr.poses[i], tr.intrinsics[i],
+            tr.params, tr.consts, jnp.asarray(ds.poses[i]),
+            jnp.asarray(ds.intrinsics[i]),
             ds.height, ds.width, cfg.model, chunk=16384,
             occ_bits=tr.occ_bits())
         dt = time.monotonic() - ts
         rgb = np.asarray(rgb)
         mse = float(((rgb - ds.images[i]) ** 2).sum())
         score = rgb.size / max(mse, 1e-12)
-        rows.append((i, score, psnr(rgb, ds.images[i]), dt))
-        print(f"view {i:02d} score={score:.2f} psnr={rows[-1][2]:.2f} "
-              f"{dt * 1e3:.0f} ms", flush=True)
+        tag = "holdout" if i in held else "train"
+        rows.append((i, score, psnr(rgb, ds.images[i]), dt, tag))
+        print(f"view {i:02d} [{tag}] score={score:.2f} "
+              f"psnr={rows[-1][2]:.2f} {dt * 1e3:.0f} ms", flush=True)
 
     out = args.result_dir / "summary.tsv"
     with open(out, "w") as f:
-        f.write("image_idx\tscore\tpsnr\ttime_s\n")
+        f.write("image_idx\tscore\tpsnr\ttime_s\tsplit\n")
         for r in rows:
-            f.write(f"{r[0]}\t{r[1]:.4f}\t{r[2]:.4f}\t{r[3]:.4f}\n")
-    ps = [r[2] for r in rows]
-    print(f"done: mean render PSNR {np.mean(ps):.2f} dB "
-          f"(min {np.min(ps):.2f}, max {np.max(ps):.2f}) -> {out}")
+            f.write(f"{r[0]}\t{r[1]:.4f}\t{r[2]:.4f}\t{r[3]:.4f}\t{r[4]}\n")
+    for tag in ("train", "holdout"):
+        ps = [r[2] for r in rows if r[4] == tag]
+        if ps:
+            print(f"done: mean {tag} render PSNR {np.mean(ps):.2f} dB "
+                  f"(min {np.min(ps):.2f}, max {np.max(ps):.2f}) -> {out}")
     return 0
 
 
