@@ -148,9 +148,31 @@ def cmd_infer(result_dir: str, dataset_dir: str,
     print(f"\nAverage Time = {np.mean(opt_times):.3f} sec")
 
 
+def _read_key() -> str:
+    """One keypress without Enter — the reference's kbhit loop
+    (src/main_functions/walk.cpp:16-54 uses termios cbreak + select).
+    Falls back to line input when stdin is not a TTY (tests, pipes)."""
+    import sys
+
+    if not sys.stdin.isatty():
+        return sys.stdin.readline().strip()[:1]
+    import termios
+    import tty
+
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    try:
+        tty.setcbreak(fd)
+        return sys.stdin.read(1)
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+
 def cmd_walk(result_dir: str) -> None:
     """Reference walk (src/main_functions/walk.cpp:56-133): interactive
-    WASD/QE translate + JKLIOU rotate fly-through writing image.png."""
+    WASD/QE translate + JKLIOU rotate fly-through writing image.png.
+    Immediate single-key control on a TTY (termios cbreak, like the
+    reference's kbhit); line-based otherwise."""
     from f2nerf_tpu.localize.localizer import (Localizer, LocalizerParam,
                                                _euler_rotations)
     from f2nerf_tpu.utils.image_io import write_image
@@ -165,8 +187,10 @@ def cmd_walk(result_dir: str) -> None:
     while True:
         img = np.asarray(core.render_image(pose))
         write_image(pathlib.Path(result_dir) / "image.png", img)
-        c = input("> ").strip()[:1]
-        if c == "p":
+        print("> ", end="", flush=True)
+        c = _read_key()
+        print(c)
+        if c == "p" or c == "":
             break
         dt = {"w": [0, 0, -step], "s": [0, 0, step],
               "a": [-step, 0, 0], "d": [step, 0, 0],

@@ -129,12 +129,17 @@ class LocalizerService:
         # same line shape the ROS2 node logs (RCLCPP_INFO "score = ...");
         # scripts/analyze_localizer_log.py parses these.
         print(f"score = {score}", flush=True)
-        return {
+        out = {
             "ok": True,
             "pose": self.localizer.camera2world(new_pose).tolist(),
             "score": float(score),
             "noise_coeff": noise_coeff,
         }
+        if req.get("return_image"):
+            # the ROS relay republishes the render as nerf_image
+            # (nerf_based_localizer.cpp:158-159)
+            out["rendered"] = rendered.tolist()
+        return out
 
 
 class _Handler(socketserver.StreamRequestHandler):

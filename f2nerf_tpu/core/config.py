@@ -185,6 +185,20 @@ class TrainConfig:
     var_loss_mode: str = "weight_var"
     # global-norm gradient clip; 0 disables (the reference has none)
     grad_clip_norm: float = 0.0
+    # shard-count-invariant gradients: when > 0, the ray batch is split
+    # into this many fixed blocks, per-block gradients are computed
+    # independently (vmap), gathered to every device, and reduced in a
+    # fixed [V, ...] order — parameter updates are then BITWISE
+    # identical for any mesh size k with grad_blocks % k == 0 (the
+    # balanced per-block grouping is independent of the physical shard
+    # count, unlike psum partial sums whose grouping follows k). This
+    # generalizes the reference's deterministic block-tiled ScatterAdd
+    # backward (src/CustomOps/Scatter.cu:21-41) from one kernel to the
+    # whole step. Costs one all-gather of V pool-sized gradient blocks
+    # per step — an opt-in parity/verification mode, not the perf path.
+    # 0 disables (default: grads are run-to-run deterministic at fixed
+    # shard count; cross-shard-count drift is float-rounding only).
+    grad_blocks: int = 0
     # static loss scaling: loss is multiplied by this before backward and
     # the gradients divided after, exactly like the reference's fp16
     # kernels' x128 scale (hash_3d_anchored.cu:190,200,214-215). bf16

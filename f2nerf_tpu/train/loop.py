@@ -80,7 +80,8 @@ class Trainer:
                 mesh_lib.replicate(self.mesh, self.intrinsics))
 
         self._step_fn = jax.jit(
-            make_train_step(cfg, self.optimizer, encode_fn=encode_fn),
+            make_train_step(cfg, self.optimizer, encode_fn=encode_fn,
+                            mesh=self.mesh),
             donate_argnums=(0, 1, 2))
         self._rng = np.random.default_rng(cfg.train.seed)
         # native prefetching batch loader (C++ worker threads) when built

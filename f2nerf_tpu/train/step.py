@@ -89,13 +89,61 @@ def make_loss_fn(cfg: Config, encode_fn=None):
     return loss_fn
 
 
+def _block_grads(cfg, scaled_loss, params, consts, poses, intrinsics,
+                 cam_idx, ij, gt, key, step, occ_bits, mesh):
+    """Shard-count-invariant gradients (TrainConfig.grad_blocks = V).
+
+    The batch is reshaped to [V, B/V]; each block's gradient is an
+    independent vmap instance whose internal reductions span only that
+    block, so its value does not depend on how blocks map to devices.
+    The stacked [V, ...] block gradients are then forced replicated
+    (one all-gather) and reduced with the same fixed-shape [V, ...] sum
+    on every device — identical floating-point grouping for every mesh
+    size k dividing V, unlike psum whose partial-sum grouping follows k.
+    """
+    V = cfg.train.grad_blocks
+    B = cam_idx.shape[0]
+    if B % V != 0:
+        raise ValueError(f"grad_blocks={V} must divide rays/step={B}")
+
+    def block_grad(c, i, g, bidx):
+        def f(p):
+            return scaled_loss(p, consts, poses, intrinsics, c, i, g,
+                               jax.random.fold_in(key, bidx), step,
+                               occ_bits)
+        return jax.value_and_grad(f, has_aux=True)(params)
+
+    (_, aux), gb = jax.vmap(block_grad)(
+        cam_idx.reshape(V, -1), ij.reshape(V, -1, 2),
+        gt.reshape(V, -1, 3), jnp.arange(V, dtype=jnp.uint32))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        repl = NamedSharding(mesh, PartitionSpec())
+        gb = jax.tree_util.tree_map(
+            lambda g: jax.lax.with_sharding_constraint(g, repl), gb)
+    grads = jax.tree_util.tree_map(
+        lambda g: jnp.sum(g, axis=0) / V, gb)
+    # per-block means of equal-sized blocks average to the global mean;
+    # psnr is recomputed from the averaged mse (log of the mean, not
+    # the mean of logs)
+    mse = jnp.mean(aux.mse)
+    metrics = StepMetrics(loss=jnp.mean(aux.loss),
+                          color_loss=jnp.mean(aux.color_loss),
+                          var_loss=jnp.mean(aux.var_loss), mse=mse,
+                          psnr=20.0 * jnp.log10(1.0 / jnp.sqrt(mse)))
+    return grads, metrics
+
+
 def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
-                    encode_fn=None):
+                    encode_fn=None, mesh=None):
     """Build the (un-jitted) train step; jit/shard at the call site.
 
     State threading: ``occ_grid`` (the occupancy density-EMA) rides
     along and refreshes every cfg.model.occ_update_every steps under a
     lax.cond; pass occ_grid=None semantics via sampler_mode='dense'.
+
+    ``mesh`` is only needed for the grad_blocks shard-invariant mode
+    (the replication constraint on the block-gradient stack).
     """
     from f2nerf_tpu.models import occupancy
 
@@ -145,9 +193,15 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
             loss, aux = loss_fn(*a)
             return loss * scale, aux
 
-        (_, metrics), grads = jax.value_and_grad(scaled_loss, has_aux=True)(
-            params, consts, poses, intrinsics, cam_idx, ij, gt, key,
-            step, occ_bits)
+        if cfg.train.grad_blocks > 0:
+            grads, metrics = _block_grads(
+                cfg, scaled_loss, params, consts, poses, intrinsics,
+                cam_idx, ij, gt, key, step, occ_bits, mesh)
+        else:
+            (_, metrics), grads = jax.value_and_grad(
+                scaled_loss, has_aux=True)(
+                params, consts, poses, intrinsics, cam_idx, ij, gt, key,
+                step, occ_bits)
         if scale != 1.0:
             grads = jax.tree_util.tree_map(lambda g: g / scale, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)

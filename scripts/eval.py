@@ -69,7 +69,9 @@ def main() -> None:
     if lpipss:
         info["lpips_vgg"] = float(np.mean(lpipss))
     else:
-        info["lpips_vgg"] = None  # weights unavailable offline
+        info["lpips_vgg"] = None
+        print("lpips: unavailable (lpips package / VGG weights not in "
+              "this environment; PSNR+SSIM only)")
 
     out = args.out or str(pathlib.Path(args.pred_dir) / "info.json")
     with open(out, "w") as f:

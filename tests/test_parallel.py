@@ -34,11 +34,12 @@ def _setup(cfg, batch):
 def _run_step(cfg, n_devices, batch):
     (params, opt, opt_state, occ, consts, poses, intr,
      cam, ij, gt) = _setup(cfg, batch)
-    step_fn = jax.jit(make_train_step(cfg, opt))
     if n_devices == 1:
+        step_fn = jax.jit(make_train_step(cfg, opt))
         return step_fn(params, opt_state, occ, consts, poses, intr,
                        jnp.asarray(0, jnp.int32), cam, ij, gt)
     mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+    step_fn = jax.jit(make_train_step(cfg, opt, mesh=mesh))
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
     params = jax.device_put(params, repl)
@@ -72,6 +73,30 @@ def test_sharded_run_twice_bitwise_identical(tiny_cfg):
     pb = _run_step(tiny_cfg, 8, 64)
     for a, b in zip(jax.tree.leaves(pa[0]), jax.tree.leaves(pb[0])):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_blocks_bitwise_across_shard_counts(tiny_cfg):
+    """TrainConfig.grad_blocks=V makes the parameter update BITWISE
+    identical across mesh sizes k | V (BASELINE.md: hash-grid
+    scatter-add gradient 'deterministic across runs and shard counts').
+    Per-block gradients are shard-placement-independent and the [V,...]
+    reduction has the same floating-point grouping at every k."""
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(tiny_cfg.train, grad_blocks=8))
+    ref = _run_step(cfg, 1, 64)
+    for k in (2, 8):
+        out = _run_step(cfg, k, 64)
+        for a, b in zip(jax.tree.leaves(ref[0]), jax.tree.leaves(out[0])):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), \
+                f"params differ at mesh size {k}"
+
+
+def test_grad_blocks_occ_mode_runs(occ_cfg):
+    """grad_blocks composes with the occupancy sampler path."""
+    cfg = dataclasses.replace(
+        occ_cfg, train=dataclasses.replace(occ_cfg.train, grad_blocks=4))
+    p, o, g, m = _run_step(cfg, 2, 64)
+    assert np.isfinite(float(m.loss))
 
 
 def test_occ_mode_sharded(occ_cfg):
