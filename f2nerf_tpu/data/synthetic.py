@@ -156,6 +156,159 @@ def _render_scene(pose: np.ndarray, intrinsic: np.ndarray, h: int,
     return color
 
 
+def _render_corridor(pose: np.ndarray, intrinsic: np.ndarray, h: int,
+                     w: int, length: float) -> np.ndarray:
+    """Street/corridor scene for free-trajectory (F2-NeRF-style) tests:
+    textured side walls, checker floor, obstacles along the way, far
+    wall. Cameras travel *through* it, so scene content spans many
+    units beyond the normalized camera cloud — the regime the
+    perspective warp (models/warp.py) exists for, unlike the orbiting
+    checker scene where contraction suffices."""
+    ii, jj = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    i = ii + 0.5
+    j = jj + 0.5
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    u = (j - cx) / fx
+    v = -((i - cy) / fy)
+    d = np.stack([u, v, -np.ones_like(u)], axis=-1)
+    d = d @ pose[:3, :3].T
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+    light = np.array([0.3, 0.85, -0.4])
+    light /= np.linalg.norm(light)
+
+    t_best = np.full((h, w), np.inf)
+    # sky fallback by ray direction (rays escaping the open ceiling)
+    sky_t = np.clip(d[..., 1], 0.0, 1.0)
+    color = np.stack([0.55 + 0.25 * sky_t, 0.65 + 0.2 * sky_t,
+                      0.8 + 0.15 * sky_t], axis=-1).astype(np.float32)
+
+    zlo, zhi = -2.0, length + 4.0
+
+    def plane_hit(axis, value, lo_a, hi_a, lo_b, hi_b):
+        """Axis-aligned plane with rectangular extent; returns (t, mask,
+        hit point). The two extent axes are the other two dims."""
+        denom = d[..., axis]
+        t = np.where(np.abs(denom) > 1e-6,
+                     (value - o[axis]) / denom, np.inf)
+        p = o[None, None, :] + d * t[..., None]
+        oth = [a for a in range(3) if a != axis]
+        ok = ((t > 1e-3) & (t < t_best)
+              & (p[..., oth[0]] >= lo_a) & (p[..., oth[0]] <= hi_a)
+              & (p[..., oth[1]] >= lo_b) & (p[..., oth[1]] <= hi_b))
+        return t, ok, p
+
+    # floor y=-1, checker
+    t, ok, p = plane_hit(1, -1.0, -2.0, 2.0, zlo, zhi)
+    checker = ((np.floor(p[..., 0] * 1.5)
+                + np.floor(p[..., 2] * 1.5)) % 2).astype(bool)
+    col = np.where(checker[..., None], [0.8, 0.78, 0.72],
+                   [0.3, 0.32, 0.38]).astype(np.float32)
+    t_best = np.where(ok, t, t_best)
+    color = np.where(ok[..., None], col, color)
+
+    # side walls x = +-2, banded texture in (y, z)
+    for side, base in ((-2.0, np.array([0.75, 0.45, 0.35])),
+                       (2.0, np.array([0.4, 0.55, 0.75]))):
+        t, ok, p = plane_hit(0, side, -1.0, 2.0, zlo, zhi)
+        tex = (0.55 + 0.3 * np.sin(2.4 * p[..., 2])
+               * np.cos(3.1 * p[..., 1])
+               + 0.15 * (np.floor(p[..., 2] * 2) % 2))
+        col = (base[None, None, :] * tex[..., None]).astype(np.float32)
+        t_best = np.where(ok, t, t_best)
+        color = np.where(ok[..., None], np.clip(col, 0, 1), color)
+
+    # far wall z = zhi
+    t, ok, p = plane_hit(2, zhi, -2.0, 2.0, -1.0, 2.0)
+    tex = 0.45 + 0.25 * np.sin(3.0 * p[..., 0]) * np.sin(2.2 * p[..., 1])
+    col = np.stack([tex, tex * 0.9, tex * 0.8], axis=-1).astype(np.float32)
+    t_best = np.where(ok, t, t_best)
+    color = np.where(ok[..., None], col, color)
+
+    # obstacles along the corridor: boxes + spheres, alternating sides
+    k = 0
+    z = 2.5
+    while z < length + 1.0:
+        side = -1.0 if k % 2 == 0 else 1.0
+        if k % 2 == 0:  # box on the floor
+            lo = np.array([side * 1.1 - 0.35, -1.0, z - 0.35])
+            hi = np.array([side * 1.1 + 0.35, -0.25, z + 0.35])
+            safe_d = np.where(np.abs(d) > 1e-9, d, 1e-9)
+            t0 = (lo - o) / safe_d
+            t1 = (hi - o) / safe_d
+            tmin = np.max(np.minimum(t0, t1), axis=-1)
+            tmax = np.min(np.maximum(t0, t1), axis=-1)
+            ok = (tmax > tmin) & (tmin > 1e-3) & (tmin < t_best)
+            p = o + d * tmin[..., None]
+            ctr = (lo + hi) / 2
+            rel = (p - ctr) / ((hi - lo) / 2)
+            axis = np.argmax(np.abs(rel), axis=-1)
+            nrm = np.eye(3)[axis] * np.sign(
+                np.take_along_axis(rel, axis[..., None], axis=-1))
+            shade = 0.3 + 0.7 * np.clip(nrm @ light, 0, 1)
+            base = np.array([0.8, 0.6, 0.2]) if k % 4 == 0 \
+                else np.array([0.3, 0.7, 0.45])
+            col = (base * shade[..., None]).astype(np.float32)
+            t_best = np.where(ok, tmin, t_best)
+            color = np.where(ok[..., None], col, color)
+        else:  # floating sphere
+            sc = np.array([side * 1.0, -0.35, z])
+            oc = o - sc
+            b = np.sum(d * oc, axis=-1)
+            c2 = np.sum(oc * oc) - 0.3 ** 2
+            disc = b * b - c2
+            ts = -b - np.sqrt(np.maximum(disc, 0))
+            ok = (disc > 0) & (ts > 1e-3) & (ts < t_best)
+            n = (o + d * ts[..., None] - sc) / 0.3
+            shade = 0.3 + 0.7 * np.clip(n @ light, 0, 1)
+            base = np.array([0.75, 0.3, 0.5]) if k % 4 == 1 \
+                else np.array([0.25, 0.4, 0.8])
+            col = (base * shade[..., None]).astype(np.float32)
+            t_best = np.where(ok, ts, t_best)
+            color = np.where(ok[..., None], col, color)
+        k += 1
+        z += 2.0
+    return np.clip(color, 0.0, 1.0)
+
+
+def make_corridor_dataset(n_images: int = 24, h: int = 128, w: int = 128,
+                          length: float = 16.0,
+                          seed: int = 0) -> Dataset:
+    """Free forward trajectory through a corridor (BASELINE configs[2,3]
+    regime: long non-orbiting path, unbounded-ish content). Cameras
+    sway laterally and look ahead along the path."""
+    rng = np.random.default_rng(seed)
+    focal = 0.75 * w
+    intrinsic = np.array([[focal, 0, w / 2.0],
+                          [0, focal, h / 2.0],
+                          [0, 0, 1.0]], dtype=np.float32)
+
+    def path(z):
+        return np.array([0.6 * np.sin(2.4 * np.pi * z / length),
+                         0.25 + 0.1 * np.sin(1.3 * z), z])
+
+    poses, images = [], []
+    for kimg in range(n_images):
+        z = 0.5 + (length - 2.0) * kimg / max(n_images - 1, 1)
+        pos = path(z) + rng.normal(0, 0.02, 3)
+        target = path(z + 2.5)
+        target[2] = z + 2.5
+        pose = look_at_pose(pos, target)
+        poses.append(pose)
+        images.append(_render_corridor(pose, intrinsic, h, w, length))
+    poses = np.stack(poses).astype(np.float32)
+    from f2nerf_tpu.core.cameras import normalize_poses
+    poses, center, radius = normalize_poses(poses)
+    return Dataset(
+        poses=poses, intrinsics=np.stack([intrinsic] * n_images),
+        dist_params=np.zeros((n_images, 4), dtype=np.float32),
+        bounds=np.tile(np.array([0.05, 30.0], dtype=np.float32),
+                       (n_images, 1)),
+        images=np.stack(images), center=center, radius=radius)
+
+
 def make_checker_dataset(n_images: int = 12, h: int = 96, w: int = 96,
                          ring_radius: float = 3.0,
                          seed: int = 0) -> Dataset:

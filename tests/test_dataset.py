@@ -72,3 +72,16 @@ def test_checker_dataset():
     assert 0.0 <= ds.images.min() and ds.images.max() <= 1.0
     # multi-object scene: views differ substantially
     assert np.abs(ds.images[0] - ds.images[1]).mean() > 0.02
+
+
+def test_corridor_dataset():
+    from f2nerf_tpu.data.synthetic import make_corridor_dataset
+    ds = make_corridor_dataset(n_images=4, h=32, w=32)
+    assert ds.images.shape == (4, 32, 32, 3)
+    assert 0.0 <= ds.images.min() and ds.images.max() <= 1.0
+    # textured scene, every view has real content
+    assert all(im.std() > 0.1 for im in ds.images)
+    # free forward trajectory: camera centers span the path, normalized
+    # to the unit ball, monotonic along the travel axis
+    z = ds.poses[:, 2, 3]
+    assert np.all(np.diff(z) > 0) and np.abs(z).max() <= 1.0 + 1e-5
