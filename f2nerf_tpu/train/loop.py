@@ -206,9 +206,19 @@ class Trainer:
         last = fetched[-1]
         lr = float(self._lr(self.step))
         total = int(time.monotonic() - t0)
+        occ_part = ""
+        if self.cfg.model.sampler_mode == "occ":
+            # occupancy decision fraction per report: the pruning-health
+            # curve (a fog-inflated field shows up here as ~1.0 long
+            # before PSNR decays — BENCH_NOTES.md density runaway)
+            from f2nerf_tpu.models import occupancy
+            frac = float(jnp.mean(occupancy.occupancy_bits(
+                self.occ_grid, self.cfg.model).astype(jnp.float32)))
+            occ_part = f" OCC: {frac:.3f}"
         line = (f"Time: {total // 60:02d}:{total % 60:02d} "
                 f"Iter: {self.step:6d} PSNR: {self.psnr_smooth:.6f} "
-                f"LOSS: {float(last.color_loss):.6f} LR: {lr:.6f}")
+                f"LOSS: {float(last.color_loss):.6f} LR: {lr:.6f}"
+                + occ_part)
         print(line)
         if self._log_file is not None:
             self._log_file.write(line + "\n")

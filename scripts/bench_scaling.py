@@ -57,14 +57,20 @@ def bench_devices(n_devices: int, cfg, iters: int) -> float:
     rng = np.random.default_rng(0)
 
     def batch_data():
-        return (jax.device_put(
-                    rng.integers(0, 8, batch).astype(np.int32), shard),
-                jax.device_put(np.stack(
-                    [rng.integers(0, 256, batch),
-                     rng.integers(0, 256, batch)], -1).astype(np.int32),
-                    shard),
-                jax.device_put(
-                    rng.random((batch, 3)).astype(np.float32), shard))
+        cam = rng.integers(0, 8, batch).astype(np.int32)
+        ij = np.stack([rng.integers(0, 256, batch),
+                       rng.integers(0, 256, batch)], -1).astype(np.int32)
+        gt = rng.random((batch, 3)).astype(np.float32)
+        if jax.process_count() > 1:
+            # every process draws the same global batch and contributes
+            # its slice (mesh_lib.shard_batch multi-host contract)
+            from f2nerf_tpu.parallel import mesh as mesh_lib
+            pid, np_ = jax.process_index(), jax.process_count()
+            lo, hi = pid * batch // np_, (pid + 1) * batch // np_
+            return mesh_lib.shard_batch(mesh, cam[lo:hi], ij[lo:hi],
+                                        gt[lo:hi])
+        return (jax.device_put(cam, shard), jax.device_put(ij, shard),
+                jax.device_put(gt, shard))
 
     step_fn = jax.jit(make_train_step(cfg, optimizer),
                       donate_argnums=(0, 1, 2))
@@ -120,6 +126,40 @@ def bench_render(n_devices: int, cfg, iters: int) -> float:
     return iters * batch / dt
 
 
+def _launch_multiprocess(args) -> None:
+    """Spawn N coordinator-connected CPU worker copies of this script
+    (each with 2 virtual CPU devices) and relay worker 0's output."""
+    import os
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = ""  # drop the TPU-tunnel sitecustomize
+    base = [sys.executable, str(pathlib.Path(__file__).resolve()),
+            "--multiprocess", str(args.multiprocess),
+            "--port", str(port), "--iters", str(args.iters),
+            "--mode", args.mode]
+    if args.quick:
+        base.append("--quick")
+    if args.rays:
+        base += ["--rays", str(args.rays)]
+    if args.counts:
+        base += ["--counts", args.counts]
+    procs = [subprocess.Popen(base + ["--worker", str(i)], env=env,
+                              stdout=(None if i == 0 else
+                                      subprocess.DEVNULL),
+                              stderr=subprocess.DEVNULL)
+             for i in range(args.multiprocess)]
+    rc = [p.wait() for p in procs]
+    if any(rc):
+        raise SystemExit(f"worker exit codes {rc}")
+
+
 def main() -> None:
     from f2nerf_tpu.core.config import Config
     from f2nerf_tpu.parallel.mesh import maybe_initialize_distributed
@@ -132,12 +172,32 @@ def main() -> None:
                     help="comma-separated device counts (default sweep)")
     ap.add_argument("--mode", choices=("train", "render"),
                     default="train")
+    ap.add_argument("--multiprocess", type=int, default=0,
+                    help="launch N coordinator-connected localhost CPU "
+                         "processes and bench over the joint mesh "
+                         "(exercises the real multi-host paths: "
+                         "jax.distributed + per-process batch slices)")
+    ap.add_argument("--worker", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--port", type=int, default=None,
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    maybe_initialize_distributed()
-    import dataclasses
+    if args.multiprocess > 0 and args.worker is None:
+        _launch_multiprocess(args)
+        return
 
     import jax
+    if args.worker is not None:
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{args.port}",
+            num_processes=args.multiprocess, process_id=args.worker)
+        if args.counts is None:
+            args.counts = str(jax.device_count())
+    else:
+        maybe_initialize_distributed()
+    import dataclasses
 
     cfg = Config.tiny() if args.quick else Config()
     rays = args.rays or (1024 if args.quick else 8192)
@@ -157,8 +217,9 @@ def main() -> None:
         results[c] = rate
         print(json.dumps({"devices": c, "rays_per_s": round(rate, 1),
                           "rays_per_s_per_chip": round(rate / c, 1)}))
-    base = results[counts[0]]
-    eff = {c: results[c] / (base * c) for c in counts}
+    # per-chip efficiency relative to the smallest measured mesh
+    base = results[counts[0]] / counts[0]
+    eff = {c: (results[c] / c) / base for c in counts}
     print(json.dumps({
         "metric": "scaling_efficiency",
         "per_devices": {str(c): round(e, 4) for c, e in eff.items()},
