@@ -41,8 +41,25 @@ def cmd_train(result_dir: str, dataset_dir: str) -> None:
     tr = Trainer(cfg, ds, result_dir=rd)
     if tr.try_resume():
         print(f"resumed from step {tr.step}")
-    tr.run()
+
+    # graceful SIGTERM: finish the current tranche, checkpoint, exit
+    # rc 1 — so `timeout 580 ... train` windows never lose progress and
+    # never kill the process mid-device-dispatch (which can wedge a
+    # remote TPU client; PLAN.md environment notes). Reference behavior
+    # (save only every save_freq, train_manager.cpp:132-136) still
+    # holds for the in-loop checkpoints.
+    import signal
+    got_term = {"v": False}
+    prev = signal.signal(signal.SIGTERM,
+                         lambda *_: got_term.update(v=True))
+    end = cfg.train.end_iter
+    while tr.step < end and not got_term["v"]:
+        tr.run(min(100, end - tr.step))
+    signal.signal(signal.SIGTERM, prev)
     tr.save_checkpoint()
+    if got_term["v"]:
+        print(f"SIGTERM: checkpointed at step {tr.step}")
+        raise SystemExit(1)
     print("Train done")
 
 
