@@ -125,6 +125,14 @@ class ModelConfig:
     # surface budget while the batch collectively supervises the space
     # behind the estimated horizon. Preferred mechanism; 0 disables.
     occ_explore_slots: int = 1
+    # target the explore slots at occupied-but-transmittance-ineligible
+    # segments (the unsupervised set where collision fog grows) instead
+    # of all occupied segments; falls back to all-occupied on rays with
+    # no ineligible segment. See models/occupancy.py. (Default False
+    # until the 20k A/B validates it — flipping the default mid-round
+    # would silently change live resumable runs, whose saved configs
+    # predate the field.)
+    occ_explore_targeted: bool = False
     # occ_explore_eps: alternatively, this fraction of rays ignores the
     # transmittance cut entirely. Measured worse than slot exploration
     # (whole-ray spread reconstructs the surface poorly and fights the

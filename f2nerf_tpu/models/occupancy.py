@@ -265,6 +265,19 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         jnp.floor((j + u) * m.astype(jnp.float32) / k_base),
         j).astype(jnp.int32)                        # [R, keep]
     if n_exp:
+        if cfg.occ_explore_targeted:
+            # stratify explore slots over the occupied-but-INELIGIBLE
+            # segments — exactly the set that receives no supervision
+            # from the base slots. Under heavy occupancy, stratifying
+            # over ALL occupied segments (below) spends most explore
+            # samples in front of the horizon where the base slots
+            # already are; targeting the ineligible set concentrates
+            # the whole explore budget on the collision-fog region
+            # (the long-horizon runaway's fuel, BENCH_NOTES.md). Falls
+            # back to all-occupied when every segment is eligible.
+            occ_tgt = jnp.logical_and(occ_all, jnp.logical_not(occ))
+            has_tgt = jnp.any(occ_tgt, axis=-1, keepdims=True)
+            occ_all = jnp.where(has_tgt, occ_tgt, occ_all)
         cum_all = jnp.cumsum(occ_all.astype(jnp.int32), axis=-1)
         m_all = cum_all[:, -1:]
         jj = j - k_base                              # index among explore

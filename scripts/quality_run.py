@@ -64,6 +64,10 @@ def main() -> int:
                     choices=("contract", "perspective"))
     ap.add_argument("--occ_thresh", type=float, default=None)
     ap.add_argument("--occ_decay", type=float, default=None)
+    ap.add_argument("--occ_explore_targeted", type=int, default=None,
+                    help="1/0: stratify explore slots over the "
+                         "ineligible set only (models/occupancy.py)")
+    ap.add_argument("--occ_trans_eps", type=float, default=None)
     ap.add_argument("--var_loss_weight", type=float, default=None,
                     help="override; default keeps the reference value")
     ap.add_argument("--var_loss_mode", default=None,
@@ -122,9 +126,12 @@ def main() -> int:
     mkw = {}
     for src, dst in (("sampler", "sampler_mode"), ("n_levels", "n_levels"),
                      ("n_channels", "n_channels"), ("warp_mode", "warp_mode"),
-                     ("occ_thresh", "occ_thresh"), ("occ_decay", "occ_decay")):
+                     ("occ_thresh", "occ_thresh"), ("occ_decay", "occ_decay"),
+                     ("occ_trans_eps", "occ_trans_eps")):
         if getattr(args, src) is not None:
             mkw[dst] = getattr(args, src)
+    if args.occ_explore_targeted is not None:
+        mkw["occ_explore_targeted"] = bool(args.occ_explore_targeted)
     cfg = Config(train=dataclasses.replace(cfg.train, **tkw),
                  model=dataclasses.replace(cfg.model, **mkw))
 

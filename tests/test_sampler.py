@@ -247,6 +247,45 @@ class TestTransAwareEligibility:
         tv = np.asarray(sv.t)[np.asarray(sv.valid)]
         assert (tv < n_elig * seg_len).all()
 
+    def test_explore_slots_targeted_ineligible_only(self):
+        """occ_explore_targeted=True: the explore slot stratifies over
+        the occupied-but-ineligible set only — every explore sample
+        lands BEHIND the transmittance horizon (where collision fog is
+        otherwise never supervised), instead of mostly duplicating the
+        base slots' eligible prefix."""
+        import jax
+        cfg = self._cfg(occ_trans_eps=1e-6, occ_explore_slots=1,
+                        occ_explore_eps=0.0, occ_explore_targeted=True)
+        g = cfg.occ_grid_res
+        grid = np.full((g, g, g), 1e5, np.float32)
+        vals = jnp.asarray(grid.reshape(-1))
+        o = jnp.zeros((8, 3))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (8, 1))
+        march = cfg.n_samples * cfg.sample_l
+        seg_len = march / cfg.occ_segments
+        n_elig = int(np.floor(np.log(1.0 / cfg.occ_trans_eps)
+                              / cfg.occ_elig_tau_cap)) + 1
+
+        s = occupancy.sample_rays_occ(o, d, vals, cfg,
+                                      key=jax.random.key(0))
+        sps = cfg.occ_samples_per_segment
+        t = np.asarray(s.t).reshape(8, cfg.occ_keep, sps)
+        valid = np.asarray(s.valid).reshape(8, cfg.occ_keep, sps)
+        base = t[:, :cfg.occ_keep - 1][valid[:, :cfg.occ_keep - 1]]
+        assert (base < n_elig * seg_len).all()
+        exp = t[:, -1][valid[:, -1]]
+        assert exp.size > 0
+        # EVERY explore sample is beyond the eligible prefix
+        assert (exp >= n_elig * seg_len).all()
+
+        # all-eligible fallback: no ineligible segments -> behaves like
+        # the untargeted stratification over all occupied segments
+        cfg2 = self._cfg(occ_trans_eps=0.0, occ_explore_slots=1,
+                         occ_explore_targeted=True)
+        s2 = occupancy.sample_rays_occ(o, d, vals, cfg2,
+                                       key=jax.random.key(0))
+        assert bool(np.asarray(s2.valid).any())
+
     def test_explore_rays_bypass_transmittance_cut(self):
         """occ_explore_eps rays ignore the estimated-opaque horizon so
         regions behind it stay supervised (the long-horizon density
