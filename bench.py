@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--rays", type=int, default=None,
                     help="override rays/step")
+    ap.add_argument("--dense", action="store_true",
+                    help="reference-parity operating point: dense "
+                         "sampler, 512 rays x 1024 samples "
+                         "(train_manager.cpp:69-70, points_sampler.hpp)")
     args = ap.parse_args()
 
     from f2nerf_tpu.core.config import Config
@@ -40,6 +44,12 @@ def main() -> None:
     import dataclasses
 
     cfg = Config.tiny() if args.quick else Config()
+    if args.dense:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           sampler_mode="dense"))
+        if args.rays is None:
+            args.rays = 512
     rays = args.rays
     if rays is None and not args.quick:
         # throughput bench: saturate the chip (the reference's 512-ray
@@ -121,7 +131,9 @@ def main() -> None:
         spr = cfg.model.occ_keep * cfg.model.occ_samples_per_segment
         mode = f"occ sampler, {spr} samples/ray"
     else:
-        mode = f"dense, {cfg.model.n_samples} samples/ray"
+        mode = (f"dense, {cfg.model.n_samples} samples/ray"
+                + (", reference-parity point 512x1024"
+                   if args.dense else ""))
     print(json.dumps({
         "metric": "train_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),
