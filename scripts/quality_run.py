@@ -48,6 +48,11 @@ def main() -> int:
     ap.add_argument("--n_images", type=int, default=16)
     ap.add_argument("--hw", type=int, default=128)
     ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--stop_at", type=int, default=None,
+                    help="train only to this step but keep --steps as "
+                         "the schedule length (LR cosine / var-loss "
+                         "ramp) — for branch A/Bs that must share the "
+                         "full run's schedule")
     ap.add_argument("--rays", type=int, default=None,
                     help="override; default from Config.quality()")
     ap.add_argument("--lr", type=float, default=None,
@@ -68,6 +73,7 @@ def main() -> int:
                     help="1/0: stratify explore slots over the "
                          "ineligible set only (models/occupancy.py)")
     ap.add_argument("--occ_trans_eps", type=float, default=None)
+    ap.add_argument("--occ_explore_slots", type=int, default=None)
     ap.add_argument("--var_loss_weight", type=float, default=None,
                     help="override; default keeps the reference value")
     ap.add_argument("--var_loss_mode", default=None,
@@ -127,7 +133,8 @@ def main() -> int:
     for src, dst in (("sampler", "sampler_mode"), ("n_levels", "n_levels"),
                      ("n_channels", "n_channels"), ("warp_mode", "warp_mode"),
                      ("occ_thresh", "occ_thresh"), ("occ_decay", "occ_decay"),
-                     ("occ_trans_eps", "occ_trans_eps")):
+                     ("occ_trans_eps", "occ_trans_eps"),
+                     ("occ_explore_slots", "occ_explore_slots")):
         if getattr(args, src) is not None:
             mkw[dst] = getattr(args, src)
     if args.occ_explore_targeted is not None:
@@ -147,11 +154,12 @@ def main() -> int:
     signal.signal(signal.SIGTERM,
                   lambda *_: got_term.update(v=True))
 
+    stop = min(args.stop_at or args.steps, args.steps)
     t0 = time.monotonic()
     last_ckpt = tr.step
-    while (tr.step < args.steps and not got_term["v"]
+    while (tr.step < stop and not got_term["v"]
            and time.monotonic() - t0 < args.budget_s):
-        tr.run(min(50, args.steps - tr.step))
+        tr.run(min(50, stop - tr.step))
         if tr.step - last_ckpt >= args.slice_steps or got_term["v"]:
             tr.save_checkpoint()
             last_ckpt = tr.step
@@ -165,8 +173,8 @@ def main() -> int:
         print(f"SIGTERM: checkpointed at step {tr.step}, exiting")
         return 1
 
-    if tr.step < args.steps:
-        print(f"budget reached at step {tr.step}/{args.steps}; re-run "
+    if tr.step < stop:
+        print(f"budget reached at step {tr.step}/{stop}; re-run "
               "to continue")
         return 1
 
