@@ -193,6 +193,12 @@ class TrainConfig:
     var_loss_mode: str = "weight_var"
     # global-norm gradient clip; 0 disables (the reference has none)
     grad_clip_norm: float = 0.0
+    # coupled weight decay on the hash feature pool; 0 = reference
+    # behavior (no decay on the pool, hash_3d_anchored.cpp:93-101).
+    # Under occupancy-guided sampling a small value (~1e-2 at lr 5e-3)
+    # is the prior that stops hash-collision density from compounding
+    # in never-sampled cells (train/optim.py rationale).
+    feat_pool_weight_decay: float = 0.0
     # shard-count-invariant gradients: when > 0, the ray batch is split
     # into this many fixed blocks, per-block gradients are computed
     # independently (vmap), gathered to every device, and reduced in a

@@ -38,16 +38,23 @@ def lr_schedule(cfg: TrainConfig):
     return schedule
 
 
+def _is_feat_pool(path) -> bool:
+    return any(getattr(p, "key", None) == "feat_pool" for p in path)
+
+
 def _wd_mask(params: Any) -> Any:
     """True where weight decay applies: everything except the hash
     feature pool (reference hash_3d_anchored.cpp:93-101 first group has
     no weight_decay)."""
     import jax
-    flat = jax.tree_util.tree_map_with_path(
-        lambda path, _: not any(
-            getattr(p, "key", None) == "feat_pool" for p in path),
-        params)
-    return flat
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not _is_feat_pool(path), params)
+
+
+def _pool_mask(params: Any) -> Any:
+    import jax
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _is_feat_pool(path), params)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -57,8 +64,22 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         # the edge-of-stability oscillation large-batch runs can hit in
         # the sustained high-LR phase
         steps.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    steps.append(
+        optax.masked(optax.add_decayed_weights(1e-6), _wd_mask))
+    if cfg.feat_pool_weight_decay > 0.0:
+        # net-new vs the reference (whose pool group has NO decay): the
+        # occupancy sampler only supervises cells it samples, and hash
+        # collisions inject density into never-sampled cells — without a
+        # prior pulling unsupervised features to zero, that density
+        # compounds over long runs (sigma-EMA p50 hit the 1e4 ceiling by
+        # 11k steps in the round-2 20k run). Supervised features are
+        # re-pushed every step, so a small coupled decay only erases
+        # what nothing supports. Dense-sampler runs don't need it (every
+        # cell along every ray is supervised — the fork's design).
+        steps.append(optax.masked(
+            optax.add_decayed_weights(cfg.feat_pool_weight_decay),
+            _pool_mask))
     steps += [
-        optax.masked(optax.add_decayed_weights(1e-6), _wd_mask),
         optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
         optax.scale_by_learning_rate(lr_schedule(cfg)),
     ]

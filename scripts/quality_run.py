@@ -79,6 +79,7 @@ def main() -> int:
     ap.add_argument("--var_loss_mode", default=None,
                     choices=("weight_var", "distortion"))
     ap.add_argument("--grad_clip_norm", type=float, default=None)
+    ap.add_argument("--feat_pool_weight_decay", type=float, default=None)
     ap.add_argument("--budget_s", type=float, default=540.0,
                     help="wall budget for this invocation's training")
     ap.add_argument("--slice_steps", type=int, default=250,
@@ -126,7 +127,8 @@ def main() -> int:
         tkw["pts_batch_size"] = args.rays * 512
     if args.lr is not None:
         tkw["learning_rate"] = args.lr
-    for name in ("var_loss_weight", "var_loss_mode", "grad_clip_norm"):
+    for name in ("var_loss_weight", "var_loss_mode", "grad_clip_norm",
+                 "feat_pool_weight_decay"):
         if getattr(args, name) is not None:
             tkw[name] = getattr(args, name)
     mkw = {}

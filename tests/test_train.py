@@ -54,6 +54,28 @@ class TestSchedules:
         assert float(jnp.abs(updates["field"]["mlp"]["w"]).max()) > 0.0
         assert float(jnp.abs(updates["shader"]["w0"]).max()) > 0.0
 
+    def test_feat_pool_weight_decay_opt_in(self, tiny_cfg):
+        """feat_pool_weight_decay > 0 pulls unsupervised pool features
+        toward zero (the occupancy-mode anti-fog prior) and leaves the
+        rest of the optimizer unchanged."""
+        import dataclasses
+
+        from f2nerf_tpu.models import renderer
+        params, _ = renderer.init(jax.random.key(0), tiny_cfg.model, 2)
+        tcfg = dataclasses.replace(tiny_cfg.train,
+                                   feat_pool_weight_decay=1e-2)
+        opt = make_optimizer(tcfg)
+        state = opt.init(params)
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        for _ in range(3):
+            updates, state = opt.update(zeros, state, params)
+        pool_u = updates["field"]["feat_pool"].astype(jnp.float32)
+        pool = params["field"]["feat_pool"].astype(jnp.float32)
+        assert float(jnp.abs(pool_u).max()) > 0.0
+        # decay direction: opposite sign of the parameter
+        nz = jnp.abs(pool) > 0
+        assert bool(jnp.all((jnp.sign(pool_u) == -jnp.sign(pool))[nz]))
+
 
 class TestTrainer:
     def test_loss_decreases_and_logs(self, tiny_cfg, sphere_ds, tmp_path):
