@@ -128,11 +128,12 @@ class ModelConfig:
     # target the explore slots at occupied-but-transmittance-ineligible
     # segments (the unsupervised set where collision fog grows) instead
     # of all occupied segments; falls back to all-occupied on rays with
-    # no ineligible segment. See models/occupancy.py. (Default False
-    # until the 20k A/B validates it — flipping the default mid-round
-    # would silently change live resumable runs, whose saved configs
-    # predate the field.)
-    occ_explore_targeted: bool = False
+    # no ineligible segment. See models/occupancy.py. Default True: the
+    # untargeted variant FAILED the 20k horizon (once OCC ~ 1 the
+    # explore samples land almost entirely in front of the horizon and
+    # the fog region gets nothing — train PSNR 39.5 @4.9k -> ~16.5
+    # @16k, BENCH_NOTES.md "20k-step flagship validation, round 2").
+    occ_explore_targeted: bool = True
     # occ_explore_eps: alternatively, this fraction of rays ignores the
     # transmittance cut entirely. Measured worse than slot exploration
     # (whole-ray spread reconstructs the surface poorly and fights the
