@@ -222,6 +222,12 @@ class TrainConfig:
     # build. Powers of two are exact in floating point, so this is a
     # pure numerics-ordering knob, not an approximation.
     loss_scale: float = 1.0
+    # automatic NaN recovery: on a NaN loss, restore the newest finite
+    # checkpoint and continue with a fresh host batch stream, up to this
+    # many times per Trainer. 0 = reference behavior (CHECK-crash,
+    # train_manager.cpp:98-100). The elastic-recovery story SURVEY §5.3
+    # notes the reference lacks; long unattended runs set 2-3.
+    nan_recovery: int = 0
     seed: int = 2022                # reference main.cpp:11
     ray_batch_size: int = 8192      # vis render chunk, train_manager.cpp:117
 

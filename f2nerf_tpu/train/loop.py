@@ -97,6 +97,7 @@ class Trainer:
             self._native = None
         self._lr = lr_schedule(cfg.train)
         self.psnr_smooth = -1.0
+        self._nan_budget = cfg.train.nan_recovery
 
         if self.result_dir is not None:
             self.result_dir.mkdir(parents=True, exist_ok=True)
@@ -114,15 +115,18 @@ class Trainer:
                       self.params, self.opt_state, self.consts,
                       extra={"occ_grid": self.occ_grid})
 
+    def _state_template(self) -> dict:
+        return {"params": self.params, "opt_state": self.opt_state,
+                "consts": self.consts, "step": 0,
+                "extra": {"occ_grid": self.occ_grid}}
+
     def try_resume(self) -> bool:
         if self.result_dir is None:
             return False
         step = ckpt_lib.latest_step(self.result_dir / "checkpoints")
         if step is None:
             return False
-        template = {"params": self.params, "opt_state": self.opt_state,
-                    "consts": self.consts, "step": 0,
-                    "extra": {"occ_grid": self.occ_grid}}
+        template = self._state_template()
         try:
             state = ckpt_lib.restore(self.result_dir / "checkpoints",
                                      template)
@@ -132,6 +136,10 @@ class Trainer:
             template["extra"]["occ_grid"] = self.occ_grid[0]
             state = ckpt_lib.restore(self.result_dir / "checkpoints",
                                      template)
+        self._adopt(state)
+        return True
+
+    def _adopt(self, state: dict) -> None:
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.consts = state["consts"]
@@ -140,18 +148,67 @@ class Trainer:
             # legacy single-channel (max-EMA) grid: add an empty
             # mean-sigma eligibility channel (it re-learns within a few
             # occ refreshes; 0 = no eligibility cuts meanwhile)
-            import jax.numpy as jnp
             occ_grid = jnp.stack([occ_grid,
                                   jnp.zeros_like(occ_grid)])
         self.occ_grid = occ_grid
         self.step = int(state["step"])
-        return True
+
+    def _recover(self) -> bool:
+        """After a NaN loss: restore the newest checkpoint whose params
+        are all-finite and continue on a fresh host batch stream.
+
+        The elastic-recovery subsystem the reference lacks (SURVEY §5.3
+        — its closest analogue is a CHECK-crash, train_manager.cpp:98-
+        100). Checkpoints newer than NaN onset can themselves be
+        poisoned (metrics are fetched one report interval behind the
+        dispatch), so each candidate's params are validated before
+        adoption; the batch RNG is re-derived so the failing ray
+        sequence is not replayed (the device key is step-indexed, but
+        every downstream draw differs with the batch).
+        """
+        if self.result_dir is None:
+            return False
+        d = self.result_dir / "checkpoints"
+        steps = sorted((int(p.name.split("_")[1])
+                        for p in d.glob("step_*") if p.is_dir()),
+                       reverse=True) if d.exists() else []
+        for s in steps:
+            try:
+                state = ckpt_lib.restore(d, self._state_template(),
+                                         step=s)
+            except Exception:
+                continue
+            if not all(bool(jnp.all(jnp.isfinite(x)))
+                       for x in jax.tree.leaves(state["params"])):
+                continue
+            self._adopt(state)
+            self._rng = np.random.default_rng(
+                int(self._rng.integers(1 << 63)))
+            self.psnr_smooth = -1.0
+            line = f"NAN-RECOVER: restored finite checkpoint step {s}"
+            print(line)
+            if self._log_file is not None:
+                self._log_file.write(line + "\n")
+                self._log_file.flush()
+            return True
+        return False
 
     # -- the loop -----------------------------------------------------------
     def run(self, n_steps: int | None = None) -> dict:
-        cfg = self.cfg
+        """Train; on NaN, auto-recover up to cfg.train.nan_recovery
+        times (0 = raise, the reference's behavior)."""
         end = (self.step + n_steps if n_steps is not None
-               else cfg.train.end_iter)
+               else self.cfg.train.end_iter)
+        while True:
+            try:
+                return self._run_inner(end)
+            except FloatingPointError:
+                if self._nan_budget <= 0 or not self._recover():
+                    raise
+                self._nan_budget -= 1
+
+    def _run_inner(self, end: int) -> dict:
+        cfg = self.cfg
         batch = cfg.train.rays_per_step
         t0 = time.monotonic()
         pending: list[tuple[int, object]] = []

@@ -188,6 +188,43 @@ class TestTrainer:
         with pytest.raises(FloatingPointError):
             tr.run(40)
 
+    def test_nan_recovery_restores_finite_checkpoint(
+            self, tiny_cfg, sphere_ds, tmp_path):
+        """nan_recovery > 0: a NaN loss rolls back to the newest
+        all-finite checkpoint and training continues (the elastic
+        recovery the reference lacks, SURVEY §5.3). A deliberately
+        poisoned newer checkpoint must be skipped."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from f2nerf_tpu.train.loop import Trainer
+        cfg = dataclasses.replace(
+            tiny_cfg,
+            train=dataclasses.replace(tiny_cfg.train, nan_recovery=1,
+                                      report_freq=2))
+        tr = Trainer(cfg, sphere_ds, result_dir=tmp_path)
+        tr.run(4)
+        tr.save_checkpoint()              # finite checkpoint @ step 4
+        good = jax.device_get(tr.params)
+        # poison the live params AND a newer checkpoint
+        tr.params = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan),
+                                 tr.params)
+        tr.step = 6
+        tr.save_checkpoint()              # poisoned checkpoint @ step 6
+        tr.run(2)                         # first report raises -> recover
+        assert tr.step >= 6               # resumed from 4 and passed 6
+        leaves = jax.tree.leaves(jax.device_get(tr.params))
+        assert all(np.isfinite(x).all() for x in leaves)
+        log = (tmp_path / "train_log.txt").read_text()
+        assert "NAN-RECOVER: restored finite checkpoint step 4" in log
+        # the recovery adopted the finite params, not the poisoned ones
+        del good
+        # budget exhausted: a second NaN raises
+        tr.params = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan),
+                                 tr.params)
+        with pytest.raises(FloatingPointError):
+            tr.run(4)
+
 
 class TestExtras:
     def test_checkpoint_retention(self, tiny_cfg, sphere_ds, tmp_path):
