@@ -285,7 +285,10 @@ class Config:
                               var_loss_mode="distortion",
                               var_loss_weight=1e-3,
                               var_loss_start=end_iter // 4,
-                              var_loss_end=end_iter // 2),
+                              var_loss_end=end_iter // 2,
+                              # long unattended runs ride through a
+                              # stray NaN instead of dying (SURVEY §5.3)
+                              nan_recovery=2),
         )
 
     def to_dict(self) -> dict[str, Any]:

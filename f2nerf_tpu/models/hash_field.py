@@ -92,8 +92,19 @@ def init(key: jax.Array, cfg: ModelConfig,
 @functools.lru_cache(maxsize=32)
 def ray_budgets(cfg: ModelConfig) -> tuple[int, ...] | None:
     """Per-level run budgets for ray-coherent encode dedup, or None when
-    dedup does not apply (disabled, xor mode, or perspective warp — the
-    warp is not 1-Lipschitz so the run-count bound would not hold).
+    dedup does not apply (disabled, xor mode, or perspective warp).
+
+    Why not under the warp: the dedup budgets are *certified* worst-case
+    run counts — exceeding one silently clamps run ids (wrong results),
+    so only provable bounds are admissible. The march bound rests on the
+    contraction being 1-Lipschitz; the perspective warp's certified
+    per-axis Lipschitz constant is ~(|u|+1)/z with z clamped at 1e-2
+    (models/warp.py), i.e. O(500) near a region's cameras — a certified
+    budget would exceed max_frac * samples at every level and disqualify
+    all of them anyway. Warp mode therefore pays per-sample fetches
+    (the measured dense-point cost of no-dedup is 1.43x, BENCH_NOTES
+    "Dense parity point"); revisit only if a warp-mode flagship becomes
+    the default operating point.
 
     The worst-case march length: the dense sampler's TRAIN jitter is
     (U[0,1)-0.5)+1 in [0.5, 1.5) accumulated by cumsum
