@@ -82,7 +82,7 @@ def main() -> int:
     ap.add_argument("--feat_pool_weight_decay", type=float, default=None)
     ap.add_argument("--budget_s", type=float, default=540.0,
                     help="wall budget for this invocation's training")
-    ap.add_argument("--slice_steps", type=int, default=250,
+    ap.add_argument("--slice_steps", type=int, default=500,
                     help="steps between budget checks/checkpoints; keep"
                          " small enough that compile + one tranche fits"
                          " the caller's timeout (an external SIGKILL"
