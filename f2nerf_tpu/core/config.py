@@ -286,6 +286,16 @@ class Config:
                               var_loss_weight=1e-3,
                               var_loss_start=end_iter // 4,
                               var_loss_end=end_iter // 2,
+                              # anti-fog prior: occupancy sampling only
+                              # supervises sampled cells; hash collisions
+                              # seed density elsewhere and it compounds
+                              # (PSNR 39.5@5k -> 23@8k in the round-2
+                              # 20k runs, with or without targeted
+                              # exploration). Through-Adam decay pulls
+                              # unsupervised rows to zero at ~lr/step
+                              # while supervised rows are re-pushed
+                              # every step (train/optim.py).
+                              feat_pool_weight_decay=1e-2,
                               # long unattended runs ride through a
                               # stray NaN instead of dying (SURVEY §5.3)
                               nan_recovery=2),
