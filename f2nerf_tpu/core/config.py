@@ -196,10 +196,23 @@ class TrainConfig:
     grad_clip_norm: float = 0.0
     # coupled weight decay on the hash feature pool; 0 = reference
     # behavior (no decay on the pool, hash_3d_anchored.cpp:93-101).
-    # Under occupancy-guided sampling a small value (~1e-2 at lr 5e-3)
-    # is the prior that stops hash-collision density from compounding
-    # in never-sampled cells (train/optim.py rationale).
+    # WARNING (measured, _runs/r2_q20k_wd): this decay feeds through
+    # Adam's normalizer, so every row whose decay gradient dominates is
+    # pulled at ~lr/step REGARDLESS of the decay value — at the
+    # flagship (1e-2, lr 5e-3) the whole pool random-walks at ~lr
+    # amplitude and training never leaves PSNR ~9. Prefer
+    # explore_sparsity_weight, which supervises fog only where the
+    # explore slots actually sample it.
     feat_pool_weight_decay: float = 0.0
+    # explore-sparsity loss weight: mean log1p(sigma*dt) over samples in
+    # occupied-but-transmittance-ineligible segments (the ones only
+    # explore slots reach). The direct fix for the long-horizon
+    # collision-fog runaway: color gradients cannot reach fog behind
+    # the horizon (its transmittance contribution is ~0), so sampling
+    # it is not enough — this term pushes its density down explicitly.
+    # 0 disables (reference parity; the reference's dense march has no
+    # unsupervised region).
+    explore_sparsity_weight: float = 0.0
     # shard-count-invariant gradients: when > 0, the ray batch is split
     # into this many fixed blocks, per-block gradients are computed
     # independently (vmap), gathered to every device, and reduced in a
@@ -286,16 +299,19 @@ class Config:
                               var_loss_weight=1e-3,
                               var_loss_start=end_iter // 4,
                               var_loss_end=end_iter // 2,
-                              # anti-fog prior: occupancy sampling only
-                              # supervises sampled cells; hash collisions
-                              # seed density elsewhere and it compounds
-                              # (PSNR 39.5@5k -> 23@8k in the round-2
-                              # 20k runs, with or without targeted
-                              # exploration). Through-Adam decay pulls
-                              # unsupervised rows to zero at ~lr/step
-                              # while supervised rows are re-pushed
-                              # every step (train/optim.py).
-                              feat_pool_weight_decay=1e-2,
+                              # anti-fog term: occupancy sampling only
+                              # supervises sampled cells; hash
+                              # collisions seed density behind the
+                              # transmittance horizon where color
+                              # gradients cannot reach, and it
+                              # compounds (PSNR 39.5@5k -> 23@8k in the
+                              # round-2 20k runs, with or without
+                              # targeted exploration). The explore
+                              # slots sample that region; this term
+                              # supervises it down. (Pool weight decay
+                              # was measured destructive instead — see
+                              # feat_pool_weight_decay.)
+                              explore_sparsity_weight=1e-2,
                               # long unattended runs ride through a
                               # stray NaN instead of dying (SURVEY §5.3)
                               nan_recovery=2),

@@ -55,6 +55,11 @@ class OccSamples(NamedTuple):
     dt: jnp.ndarray     # [R, S] local spacing (0 where invalid)
     t: jnp.ndarray      # [R, S]
     valid: jnp.ndarray  # [R, S] bool
+    # True where the sample's segment is occupied-but-transmittance-
+    # INELIGIBLE — i.e. the collision-fog region behind the estimated
+    # horizon that only explore slots reach. The explore-sparsity loss
+    # (train/step.py) penalizes density exactly here.
+    explore: jnp.ndarray  # [R, S] bool
 
 
 def init_grid(cfg: ModelConfig) -> jnp.ndarray:
@@ -204,7 +209,7 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         occ_seg = elig_seg = jnp.take(vals.astype(jnp.float32), cell,
                                       axis=0, mode="clip")
     occ = occ_seg > 0.0                             # [R, n_seg] bool
-    occ_all = occ
+    occ_all = occ_all_orig = occ
     if cfg.occ_trans_eps > 0.0:
         # transmittance-aware eligibility: drop segments behind an
         # estimated-opaque surface, T_est = exp(-cumsum_excl(tau)) from
@@ -319,4 +324,13 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                              (r, keep, sps)).reshape(r, keep * sps)
 
     pts = rays_o[:, None, :] + dirs[:, None, :] * t[..., None]
-    return OccSamples(pts=pts, dirs=dirs, dt=dt, t=t, valid=valid)
+
+    # occupied-but-ineligible flag per kept slot (only explore slots can
+    # select such segments; base slots stratify over the eligible set)
+    ineg = jnp.logical_and(occ_all_orig, jnp.logical_not(occ))
+    slot_ineg = jnp.logical_and(
+        jnp.take_along_axis(ineg, seg_idx, axis=-1), valid_seg)
+    explore = jnp.broadcast_to(
+        slot_ineg[..., None], (r, keep, sps)).reshape(r, keep * sps)
+    return OccSamples(pts=pts, dirs=dirs, dt=dt, t=t, valid=valid,
+                      explore=explore)

@@ -33,6 +33,11 @@ class RenderResult(NamedTuple):
     mask: jnp.ndarray     # [R, S] bool keep mask
     t: jnp.ndarray        # [R, S] sample distances (for spatial losses)
     dt: jnp.ndarray       # [R, S] sample interval widths (0 = invalid)
+    # per-sample optical depth sigma*dt (0 where invalid) and the
+    # occupied-but-ineligible sample flag from the occ sampler (None for
+    # the dense sampler) — inputs to the explore-sparsity loss
+    sec_density: jnp.ndarray | None = None  # [R, S]
+    explore: jnp.ndarray | None = None      # [R, S] bool
 
 
 def init(key: jax.Array, cfg: ModelConfig, n_images: int,
@@ -125,7 +130,9 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
     rgb, depth, weights, mask = composite(
         sec_density, colors, smp.t, bg_color, cfg.trans_eps)
     return RenderResult(colors=rgb, depths=depth, weights=weights,
-                        mask=mask, t=smp.t, dt=smp.dt)
+                        mask=mask, t=smp.t, dt=smp.dt,
+                        sec_density=sec_density,
+                        explore=getattr(smp, "explore", None))
 
 
 import functools

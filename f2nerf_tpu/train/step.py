@@ -79,6 +79,20 @@ def make_loss_fn(cfg: Config, encode_fn=None):
             var_loss = jnp.mean(jnp.sqrt(var + 1e-2))
         w = var_loss_weight(step, cfg)
         loss = color_loss + var_loss * w
+        if (cfg.train.explore_sparsity_weight > 0.0
+                and res.explore is not None):
+            # explore-sparsity loss: push down the optical depth of
+            # samples in occupied-but-ineligible segments — exactly the
+            # hash-collision fog behind the transmittance horizon that
+            # no color gradient reaches (the long-horizon density
+            # runaway, BENCH_NOTES.md). log1p keeps the gradient alive
+            # for exploded fog (alpha-form saturates: d(1-e^-x)/dx -> 0
+            # while d log1p(x)/dx = 1/(1+x)); the clip guards inf sigma
+            # from TruncExp's unbounded forward.
+            m = res.explore.astype(jnp.float32)
+            fog = jnp.log1p(jnp.clip(res.sec_density, 0.0, 1e4)) * m
+            exp_loss = jnp.sum(fog) / jnp.maximum(jnp.sum(m), 1.0)
+            loss = loss + cfg.train.explore_sparsity_weight * exp_loss
 
         mse = jnp.mean((res.colors - gt) ** 2)
         psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))

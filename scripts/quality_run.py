@@ -80,6 +80,7 @@ def main() -> int:
                     choices=("weight_var", "distortion"))
     ap.add_argument("--grad_clip_norm", type=float, default=None)
     ap.add_argument("--feat_pool_weight_decay", type=float, default=None)
+    ap.add_argument("--explore_sparsity_weight", type=float, default=None)
     ap.add_argument("--budget_s", type=float, default=540.0,
                     help="wall budget for this invocation's training")
     ap.add_argument("--slice_steps", type=int, default=500,
@@ -128,7 +129,7 @@ def main() -> int:
     if args.lr is not None:
         tkw["learning_rate"] = args.lr
     for name in ("var_loss_weight", "var_loss_mode", "grad_clip_norm",
-                 "feat_pool_weight_decay"):
+                 "feat_pool_weight_decay", "explore_sparsity_weight"):
         if getattr(args, name) is not None:
             tkw[name] = getattr(args, name)
     mkw = {}

