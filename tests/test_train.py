@@ -137,6 +137,22 @@ class TestTrainer:
         r = tr.run(4)
         assert np.isfinite(r["loss"])
 
+    def test_explore_sparsity_inert_for_dense_sampler(self, tiny_cfg,
+                                                      sphere_ds):
+        """The dense sampler supervises its whole march, so the
+        explore-sparsity term must be a no-op there (RenderResult
+        .explore is None): identical losses with the weight on/off."""
+        from f2nerf_tpu.train.loop import Trainer
+        base = Trainer(tiny_cfg, sphere_ds, result_dir=None)
+        r1 = base.run(3)
+        cfg = dataclasses.replace(
+            tiny_cfg,
+            train=dataclasses.replace(tiny_cfg.train,
+                                      explore_sparsity_weight=1.0))
+        tr = Trainer(cfg, sphere_ds, result_dir=None)
+        r2 = tr.run(3)
+        assert r1["loss"] == r2["loss"]
+
     def test_distortion_loss_mode_trains(self, tiny_cfg, sphere_ds):
         from f2nerf_tpu.train.loop import Trainer
         cfg = dataclasses.replace(
