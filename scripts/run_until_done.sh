@@ -8,11 +8,13 @@ set -u
 export PYTHONPATH=/root/.axon_site
 LOG="$1"; shift
 MAX_WINDOWS=${MAX_WINDOWS:-80}
+WINDOW_S=${WINDOW_S:-580}
+BUDGET_S=${BUDGET_S:-540}
 cd "$(dirname "$0")/.."
 for i in $(seq 1 "$MAX_WINDOWS"); do
   echo "=== window $i $(date -u +%H:%M:%S) ===" >> "$LOG"
-  timeout --signal=TERM --kill-after=120 580 \
-    python scripts/quality_run.py "$@" >> "$LOG" 2>&1
+  timeout --signal=TERM --kill-after=120 "$WINDOW_S" \
+    python scripts/quality_run.py "$@" --budget_s "$BUDGET_S" >> "$LOG" 2>&1
   rc=$?
   echo "=== window $i exit $rc ===" >> "$LOG"
   if [ "$rc" -eq 0 ]; then echo DONE >> "$LOG"; exit 0; fi
