@@ -235,6 +235,13 @@ class TrainConfig:
     # build. Powers of two are exact in floating point, so this is a
     # pure numerics-ordering knob, not an approximation.
     loss_scale: float = 1.0
+    # coarse-to-fine level annealing: linearly unmask hash levels
+    # coarse-first over the first N steps (level l reaches full weight
+    # at step N*(l+1)/L). The standard few-shot floater mitigation
+    # (BARF / nerfstudio-style): early training cannot place
+    # high-frequency content at wrong depths, so novel-view geometry
+    # stays plausible. 0 = off (reference parity).
+    level_anneal_end: int = 0
     # automatic NaN recovery: on a NaN loss, restore the newest finite
     # checkpoint and continue with a fresh host batch stream, up to this
     # many times per Trainer. 0 = reference behavior (CHECK-crash,

@@ -128,9 +128,23 @@ def ray_budgets(cfg: ModelConfig) -> tuple[int, ...] | None:
     return budgets if any(budgets) else None
 
 
+def _apply_level_weights(feat: jnp.ndarray, level_weights,
+                         cfg: ModelConfig) -> jnp.ndarray:
+    """Scale each hash level's channel block ([..., L*C] level-major)
+    by level_weights [L] — coarse-to-fine annealing
+    (TrainConfig.level_anneal_end)."""
+    if level_weights is None:
+        return feat
+    shape = feat.shape
+    f = feat.reshape(*shape[:-1], cfg.n_levels, cfg.n_channels)
+    f = f * level_weights.astype(feat.dtype)[..., :, None]
+    return f.reshape(shape)
+
+
 def query_rays(params: Params, consts: Params, points: jnp.ndarray,
                cfg: ModelConfig, encode_fn=None,
-               point_grads: bool = True) -> jnp.ndarray:
+               point_grads: bool = True,
+               level_weights=None) -> jnp.ndarray:
     """Ray-structured field query: [R, S, 3] -> [R, S, hash_feat_dim].
 
     Identical results to :func:`query` on the flattened points (the
@@ -144,8 +158,8 @@ def query_rays(params: Params, consts: Params, points: jnp.ndarray,
     budgets = ray_budgets(cfg) if encode_fn is None else None
     if budgets is None:
         return query(params, consts, points.reshape(r * s, 3), cfg,
-                     encode_fn=encode_fn,
-                     point_grads=point_grads).reshape(r, s, -1)
+                     encode_fn=encode_fn, point_grads=point_grads,
+                     level_weights=level_weights).reshape(r, s, -1)
     x = contract(points.reshape(r * s, 3),
                  cfg.contraction_radius).reshape(r, s, 3)
     compute_dtype = jnp.bfloat16 if cfg.bf16_features else jnp.float32
@@ -153,13 +167,15 @@ def query_rays(params: Params, consts: Params, points: jnp.ndarray,
         x, params["feat_pool"], paged_meta(cfg), budgets,
         compute_dtype=compute_dtype, chunk=cfg.encode_chunk,
         point_grads=point_grads)
+    feat = _apply_level_weights(feat, level_weights, cfg)
     return feat @ params["mlp"]["w"] + params["mlp"]["b"]
 
 
 def query(params: Params, consts: Params, points: jnp.ndarray,
           cfg: ModelConfig, encode_fn=None,
           pre_contracted: bool = False,
-          point_grads: bool = True) -> jnp.ndarray:
+          point_grads: bool = True,
+          level_weights=None) -> jnp.ndarray:
     """Query the field: contraction -> hash encode -> linear head.
 
     Reference src/hash_3d_anchored.cpp:70-88 (Hash3DAnchored::query).
@@ -206,4 +222,5 @@ def query(params: Params, consts: Params, points: jnp.ndarray,
                            jax.lax.stop_gradient(consts["primes"]),
                            jax.lax.stop_gradient(consts["biases"]),
                            jax.lax.stop_gradient(consts["scales"]))
+    feat = _apply_level_weights(feat, level_weights, cfg)
     return feat @ params["mlp"]["w"] + params["mlp"]["b"]

@@ -71,7 +71,8 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
            emb_idx: jnp.ndarray | None, cfg: ModelConfig,
            key: jax.Array | None, train: bool,
            encode_fn=None, occ_bits: jnp.ndarray | None = None,
-           point_grads: bool = True) -> RenderResult:
+           point_grads: bool = True,
+           level_weights: jnp.ndarray | None = None) -> RenderResult:
     """Render a batch of rays.
 
     Args:
@@ -110,7 +111,8 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
 
     feat = hash_field.query_rays(params["field"], consts["field"],
                                  smp.pts, cfg, encode_fn=encode_fn,
-                                 point_grads=point_grads)      # [R, S, F]
+                                 point_grads=point_grads,
+                                 level_weights=level_weights)  # [R, S, F]
 
     sigma = density_activation(feat[..., 0], cfg.density_shift)  # [R, S]
 

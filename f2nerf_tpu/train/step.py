@@ -56,10 +56,20 @@ def make_loss_fn(cfg: Config, encode_fn=None):
         sel_intr = intrinsics[cam_idx]           # [B, 3, 3]
         rays_o, rays_d = rays_from_pose(sel_poses, sel_intr,
                                         ij.astype(jnp.float32))
+        la = cfg.train.level_anneal_end
+        if la > 0:
+            # coarse-to-fine: level l's weight ramps linearly, fully on
+            # at step la*(l+1)/L (TrainConfig.level_anneal_end)
+            nl = cfg.model.n_levels
+            prog = jnp.clip(step.astype(jnp.float32) / la, 0.0, 1.0)
+            lw = jnp.clip(prog * nl - jnp.arange(nl, dtype=jnp.float32)
+                          + 1.0, 0.0, 1.0)
+        else:
+            lw = None
         res = renderer.render(params, consts, rays_o, rays_d, cam_idx,
                               cfg.model, key, train=True,
                               encode_fn=encode_fn, occ_bits=occ_bits,
-                              point_grads=False)
+                              point_grads=False, level_weights=lw)
         # Charbonnier color loss (train_manager.cpp:78)
         color_loss = jnp.mean(
             jnp.sqrt((res.colors - gt) ** 2 + 1e-4))

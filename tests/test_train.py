@@ -153,6 +153,46 @@ class TestTrainer:
         r2 = tr.run(3)
         assert r1["loss"] == r2["loss"]
 
+    def test_level_annealing(self, tiny_cfg, sphere_ds):
+        """Coarse-to-fine level annealing (level_anneal_end):
+        weights=ones is exactly the unannealed field; the per-level
+        masking is affine-consistent through the linear head; and an
+        annealed run trains to a finite, different trajectory."""
+        import jax
+        import jax.numpy as jnp
+
+        from f2nerf_tpu.models import hash_field
+        from f2nerf_tpu.train.loop import Trainer
+        m = tiny_cfg.model
+        params, consts = hash_field.init(jax.random.key(0), m)
+        pts = jnp.asarray(
+            np.random.default_rng(3).uniform(-1, 1, (32, 3)), jnp.float32)
+
+        def q(lw):
+            return np.asarray(hash_field.query(
+                params, consts, pts, m,
+                level_weights=None if lw is None else jnp.asarray(lw)))
+
+        L = m.n_levels
+        np.testing.assert_array_equal(q(None), q([1.0] * L))
+        # affine head: q(w1) + q(w2) - q(0) == q(w1 + w2) for disjoint
+        # level masks
+        w1 = [1.0] + [0.0] * (L - 1)
+        w2 = [0.0] + [1.0] * (L - 1)
+        np.testing.assert_allclose(
+            q(w1) + q(w2) - q([0.0] * L), q([1.0] * L),
+            rtol=1e-4, atol=1e-5)
+
+        cfg = dataclasses.replace(
+            tiny_cfg,
+            train=dataclasses.replace(tiny_cfg.train,
+                                      level_anneal_end=50))
+        tr = Trainer(cfg, sphere_ds, result_dir=None)
+        base = Trainer(tiny_cfg, sphere_ds, result_dir=None)
+        r1, r0 = tr.run(4), base.run(4)
+        assert np.isfinite(r1["loss"])
+        assert r1["loss"] != r0["loss"]   # annealing actually bites
+
     def test_distortion_loss_mode_trains(self, tiny_cfg, sphere_ds):
         from f2nerf_tpu.train.loop import Trainer
         cfg = dataclasses.replace(
