@@ -46,13 +46,21 @@ except ImportError:  # pragma: no cover - exercised via mocks in tests
 # -- msg <-> numpy conversion (pure, unit-tested) ---------------------------
 
 def pose_msg_to_matrix(position, orientation) -> np.ndarray:
-    """geometry_msgs/Pose -> 4x4 homogeneous world pose."""
-    from f2nerf_tpu.localize.localizer import quat_to_matrix
+    """geometry_msgs/Pose -> 4x4 homogeneous world pose.
 
-    q = np.array([orientation.w, orientation.x, orientation.y,
-                  orientation.z], dtype=np.float64)
+    ROS geometry_msgs/Quaternion carries (x, y, z, w) fields; they are
+    passed to quat_xyzw_to_matrix in exactly that order (the round-2
+    review found the previous revision fed [w,x,y,z] — a 180-degree
+    scramble on real ROS data that roundtrip tests could not see;
+    tests/test_ros2_node.py now pins known rotations at this boundary).
+    Ref: nerf_based_localizer.cpp:237-246 (tf2 does this implicitly).
+    """
+    from f2nerf_tpu.localize.localizer import quat_xyzw_to_matrix
+
+    quat_xyzw = np.array([orientation.x, orientation.y, orientation.z,
+                          orientation.w], dtype=np.float64)
     m = np.eye(4, dtype=np.float32)
-    m[:3, :3] = quat_to_matrix(q)
+    m[:3, :3] = quat_xyzw_to_matrix(quat_xyzw)
     m[:3, 3] = [position.x, position.y, position.z]
     return m
 
@@ -60,14 +68,14 @@ def pose_msg_to_matrix(position, orientation) -> np.ndarray:
 def matrix_to_pose_msg(pose_cls, m: np.ndarray):
     """4x4 (or 3x4) world pose -> geometry_msgs/Pose instance of
     ``pose_cls`` (passed in so tests can use a stub class)."""
-    from f2nerf_tpu.localize.localizer import matrix_to_quat
+    from f2nerf_tpu.localize.localizer import matrix_to_quat_xyzw
 
     msg = pose_cls()
-    q = matrix_to_quat(np.asarray(m)[:3, :3])
-    msg.orientation.w = float(q[0])
-    msg.orientation.x = float(q[1])
-    msg.orientation.y = float(q[2])
-    msg.orientation.z = float(q[3])
+    quat_xyzw = matrix_to_quat_xyzw(np.asarray(m)[:3, :3])
+    msg.orientation.x = float(quat_xyzw[0])
+    msg.orientation.y = float(quat_xyzw[1])
+    msg.orientation.z = float(quat_xyzw[2])
+    msg.orientation.w = float(quat_xyzw[3])
     msg.position.x = float(m[0, 3])
     msg.position.y = float(m[1, 3])
     msg.position.z = float(m[2, 3])

@@ -16,8 +16,8 @@ import sys
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
-from f2nerf_tpu.localize.localizer import (matrix_to_quat,  # noqa: E402
-                                           quat_to_matrix)
+from f2nerf_tpu.localize.localizer import (matrix_to_quat_xyzw,  # noqa: E402
+                                           quat_xyzw_to_matrix)
 
 
 def slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
@@ -34,7 +34,7 @@ def slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
 def interpolate_poses(key_poses: np.ndarray, n_out: int) -> np.ndarray:
     """[K, 3, 4] key poses -> [n_out, 3, 4] interpolated trajectory."""
     k = len(key_poses)
-    quats = [matrix_to_quat(p[:3, :3].astype(np.float64))
+    quats = [matrix_to_quat_xyzw(p[:3, :3].astype(np.float64))
              for p in key_poses]
     out = []
     for i in range(n_out):
@@ -43,7 +43,7 @@ def interpolate_poses(key_poses: np.ndarray, n_out: int) -> np.ndarray:
         t = u - a
         q = slerp(quats[a], quats[a + 1], t)
         pose = np.zeros((3, 4), dtype=np.float32)
-        pose[:3, :3] = quat_to_matrix(q)
+        pose[:3, :3] = quat_xyzw_to_matrix(q)
         pose[:3, 3] = ((1 - t) * key_poses[a][:3, 3]
                        + t * key_poses[a + 1][:3, 3])
         out.append(pose)

@@ -9,7 +9,8 @@ import pytest
 
 from f2nerf_tpu.localize.localizer import (Localizer, LocalizerParam,
                                            Particle, calc_average_pose,
-                                           matrix_to_quat, quat_to_matrix)
+                                           matrix_to_quat_xyzw,
+                                           quat_xyzw_to_matrix)
 
 
 @pytest.fixture(scope="module")
@@ -50,8 +51,30 @@ class TestQuat:
                           [axis[2], 0, -axis[0]],
                           [-axis[1], axis[0], 0]])
             r = np.eye(3) + np.sin(th) * k + (1 - np.cos(th)) * (k @ k)
-            q = matrix_to_quat(r)
-            np.testing.assert_allclose(quat_to_matrix(q), r, atol=1e-8)
+            q = matrix_to_quat_xyzw(r)
+            np.testing.assert_allclose(quat_xyzw_to_matrix(q), r, atol=1e-8)
+
+    def test_known_rotations_xyzw(self):
+        """Non-roundtrip fixtures: the (x,y,z,w) order is pinned against
+        hand-written quaternion/matrix pairs, so an order scramble
+        cannot cancel between the two converters."""
+        s2 = np.sqrt(0.5)
+        pairs = [
+            (np.array([0.0, 0.0, 0.0, 1.0]), np.eye(3)),
+            (np.array([s2, 0.0, 0.0, s2]),   # +90 deg about x
+             np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])),
+            (np.array([0.0, s2, 0.0, s2]),   # +90 deg about y
+             np.array([[0, 0, 1.0], [0, 1.0, 0], [-1.0, 0, 0]])),
+            (np.array([0.0, 0.0, s2, s2]),   # +90 deg about z
+             np.array([[0, -1.0, 0], [1.0, 0, 0], [0, 0, 1.0]])),
+        ]
+        for q_expect, r in pairs:
+            np.testing.assert_allclose(quat_xyzw_to_matrix(q_expect), r,
+                                       atol=1e-8)
+            q = matrix_to_quat_xyzw(r)
+            if np.dot(q, q_expect) < 0:
+                q = -q
+            np.testing.assert_allclose(q, q_expect, atol=1e-8)
 
     def test_average_identity(self):
         pose = np.eye(3, 4)

@@ -45,6 +45,51 @@ def test_pose_roundtrip():
     np.testing.assert_allclose(back, m, atol=1e-5)
 
 
+# Independently-constructed (ROS-field-order quaternion, matrix) pairs.
+# These are NOT roundtrips: each side is written down by hand, so an
+# order scramble inside the converters cannot cancel (the round-2 review
+# found exactly such a masked scramble at this boundary).
+S2 = np.sqrt(0.5)
+KNOWN_ROTATIONS = [
+    # (qx, qy, qz, qw), rotation matrix
+    ((0.0, 0.0, 0.0, 1.0), np.eye(3)),
+    ((S2, 0.0, 0.0, S2),                       # +90 deg about x
+     np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])),
+    ((0.0, S2, 0.0, S2),                       # +90 deg about y
+     np.array([[0, 0, 1.0], [0, 1.0, 0], [-1.0, 0, 0]])),
+    ((0.0, 0.0, S2, S2),                       # +90 deg about z
+     np.array([[0, -1.0, 0], [1.0, 0, 0], [0, 0, 1.0]])),
+]
+
+
+def test_pose_msg_to_matrix_known_rotations():
+    """geometry_msgs field order (x,y,z,w) -> the right matrix."""
+    from f2nerf_tpu.apps import ros2_node as rn
+
+    for (qx, qy, qz, qw), r_expect in KNOWN_ROTATIONS:
+        pose = _Pose()
+        pose.orientation = _Quat(w=qw, x=qx, y=qy, z=qz)
+        pose.position = _Vec(1.0, 2.0, 3.0)
+        m = rn.pose_msg_to_matrix(pose.position, pose.orientation)
+        np.testing.assert_allclose(m[:3, :3], r_expect, atol=1e-6)
+        np.testing.assert_allclose(m[:3, 3], [1.0, 2.0, 3.0], atol=1e-6)
+
+
+def test_matrix_to_pose_msg_known_rotations():
+    from f2nerf_tpu.apps import ros2_node as rn
+
+    for (qx, qy, qz, qw), r in KNOWN_ROTATIONS:
+        m = np.eye(4)
+        m[:3, :3] = r
+        msg = rn.matrix_to_pose_msg(_Pose, m)
+        got = np.array([msg.orientation.x, msg.orientation.y,
+                        msg.orientation.z, msg.orientation.w])
+        expect = np.array([qx, qy, qz, qw])
+        if np.dot(got, expect) < 0:  # q and -q encode the same rotation
+            got = -got
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
 class _Header:
     def __init__(self):
         self.frame_id = ""

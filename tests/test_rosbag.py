@@ -166,6 +166,16 @@ class TestExtraction:
         first = rows[1].split("\t")
         x = float(first[2])
         assert x == pytest.approx(1.2, abs=1e-6)
+        # z = base z (0) + (Rot(identity quat) @ t_b2c).z = 1.0 — the
+        # pre-fix quat scramble read identity as a 180-deg x-flip and
+        # produced z = -1 here (only x was asserted, masking it)
+        z = float(first[4])
+        assert z == pytest.approx(1.0, abs=1e-6)
+        # cam quat = q_b2c * identity = Rz(0.1) in (qx,qy,qz,qw) order
+        qx, qy, qz, qw = (float(v) for v in first[5:9])
+        assert (qx, qy) == pytest.approx((0.0, 0.0), abs=1e-6)
+        assert qz == pytest.approx(np.sin(0.05), abs=1e-6)
+        assert qw == pytest.approx(np.cos(0.05), abs=1e-6)
         assert (out / "camera_info.yaml").exists()
         from PIL import Image
         got = np.asarray(Image.open(pngs[0]))
