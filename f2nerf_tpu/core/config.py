@@ -236,8 +236,9 @@ class TrainConfig:
     # pure numerics-ordering knob, not an approximation.
     loss_scale: float = 1.0
     # coarse-to-fine level annealing: linearly unmask hash levels
-    # coarse-first over the first N steps (level l reaches full weight
-    # at step N*(l+1)/L). The standard few-shot floater mitigation
+    # coarse-first; level l's weight ramps over steps
+    # [N*(l-1)/L, N*l/L] (level 0 fully on from step 0, all levels on
+    # by N*(L-1)/L). The standard few-shot floater mitigation
     # (BARF / nerfstudio-style): early training cannot place
     # high-frequency content at wrong depths, so novel-view geometry
     # stays plausible. 0 = off (reference parity).

@@ -50,6 +50,13 @@ class Trainer:
         # replacement for the reference's ScopeWatch CUDA-sync scopes)
         self.profile_dir = (str(profile_dir) if profile_dir else None)
         self.profile_steps = profile_steps
+        # cumulative training seconds across run() calls (in-process):
+        # keeps the train_log "Time:" column monotonic when a driver
+        # (quality_run) trains in short run() chunks, so per-tranche
+        # times can be recovered as deltas (ADVICE r2 on
+        # compare_time_to_psnr). Resets with the process; a clock
+        # regression in the log marks a process/window boundary.
+        self._elapsed_s = 0.0
 
         key = jax.random.key(cfg.train.seed)
         self.params, self.consts = renderer.init(
@@ -190,8 +197,18 @@ class Trainer:
                                          step=s)
             except Exception:
                 continue
+            # A checkpoint saved inside the NaN-detection lag window can
+            # hold finite params but poisoned Adam moments or occ grid —
+            # adopting it would immediately re-poison training and burn
+            # a recovery slot (ADVICE r2). Validate every float leaf of
+            # the full state, not just params.
+            leaves = (jax.tree.leaves(state["params"])
+                      + jax.tree.leaves(state["opt_state"])
+                      + jax.tree.leaves(state["extra"]))
             if not all(bool(jnp.all(jnp.isfinite(x)))
-                       for x in jax.tree.leaves(state["params"])):
+                       for x in leaves
+                       if hasattr(x, "dtype")
+                       and jnp.issubdtype(x.dtype, jnp.floating)):
                 continue
             self._adopt(state)
             self._rng = np.random.default_rng(
@@ -260,6 +277,7 @@ class Trainer:
 
         if pending:
             last_metrics = self._report(pending, t0)
+        self._elapsed_s += time.monotonic() - t0
         return last_metrics or {}
 
     def _report(self, pending, t0) -> dict:
@@ -274,7 +292,7 @@ class Trainer:
                                 else psnr * 0.1 + self.psnr_smooth * 0.9)
         last = fetched[-1]
         lr = float(self._lr(self.step))
-        total = int(time.monotonic() - t0)
+        total = int(self._elapsed_s + time.monotonic() - t0)
         occ_part = ""
         if self.cfg.model.sampler_mode == "occ":
             # occupancy decision fraction per report: the pruning-health

@@ -58,8 +58,11 @@ def make_loss_fn(cfg: Config, encode_fn=None):
                                         ij.astype(jnp.float32))
         la = cfg.train.level_anneal_end
         if la > 0:
-            # coarse-to-fine: level l's weight ramps linearly, fully on
-            # at step la*(l+1)/L (TrainConfig.level_anneal_end)
+            # coarse-to-fine: level l's weight ramps linearly over
+            # steps [la*(l-1)/L, la*l/L] — level 0 is fully on from
+            # step 0 and the whole anneal finishes at la*(L-1)/L,
+            # slightly before level_anneal_end (ADVICE r2: the comment,
+            # not the formula, was wrong)
             nl = cfg.model.n_levels
             prog = jnp.clip(step.astype(jnp.float32) / la, 0.0, 1.0)
             lw = jnp.clip(prog * nl - jnp.arange(nl, dtype=jnp.float32)

@@ -33,16 +33,29 @@ LINE = re.compile(
 
 
 def parse_run(d: pathlib.Path):
+    """Parse train_log.txt into (steps, psnrs, median ms/step).
+
+    The log's "Time:" column is CUMULATIVE within one process (Trainer
+    accumulates across run() chunks), so per-tranche durations are
+    deltas between consecutive report lines. A clock regression marks a
+    process/window boundary (run_until_done-style resumed runs): the
+    clock restarts at 0 there, so the boundary line's delta is taken
+    from 0 (ADVICE r2: the previous revision read each line's time as a
+    per-tranche duration, inflating CLI-trainer per-step times).
+    """
     steps, psnrs, tranche_s = [], [], []
-    prev_step = None
+    prev_step = prev_t = None
     for ln in (d / "train_log.txt").read_text().splitlines():
         m = LINE.match(ln)
         if not m:
             continue
         mm, ss, it, ps = int(m[1]), int(m[2]), int(m[3]), float(m[4])
-        if prev_step is not None and it > prev_step:
-            tranche_s.append((mm * 60 + ss, it - prev_step))
-        prev_step = it
+        t = mm * 60 + ss
+        if prev_t is not None and t < prev_t:
+            prev_t = 0  # window boundary: new process, clock reset
+        if prev_step is not None and it > prev_step and prev_t is not None:
+            tranche_s.append((t - prev_t, it - prev_step))
+        prev_step, prev_t = it, t
         steps.append(it)
         psnrs.append(ps)
     if not tranche_s:

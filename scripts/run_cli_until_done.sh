@@ -21,6 +21,12 @@ for i in $(seq 1 "$MAX_WINDOWS"); do
     if [ -n "$TESTDS" ]; then
       timeout --signal=TERM --kill-after=120 580 \
         python -m f2nerf_tpu.apps.main test "$RD" "$TESTDS" >> "$LOG" 2>&1
+      test_rc=$?
+      if [ "$test_rc" -ne 0 ]; then
+        # propagate: callers (tpu_queue) must not treat a failed or
+        # timed-out test phase as a completed job (ADVICE r2)
+        echo "TEST_FAILED rc=$test_rc" >> "$LOG"; exit "$test_rc"
+      fi
     fi
     echo DONE >> "$LOG"; exit 0
   fi

@@ -129,3 +129,38 @@ def test_serve_particle_dump(tmp_path, rng):
     p2, w2 = load_particles(files[0])
     np.testing.assert_allclose(p2, poses, atol=1e-5)
     assert len(w2) == 3
+
+
+def test_parse_run_cumulative_and_windowed(tmp_path):
+    """compare_time_to_psnr.parse_run reads the log's cumulative Time
+    column as deltas between report lines, restarting from 0 at a clock
+    regression (a resumed process window) — ADVICE r2: the previous
+    revision read each line's time as a per-tranche duration, inflating
+    CLI-trainer (one long run, report_freq=200) per-step times."""
+    from compare_time_to_psnr import parse_run
+
+    # one-process cumulative log: 200 steps per 20 s -> 100 ms/step
+    lines = [
+        "Time: 00:20 Iter:    200 PSNR: 20.000000 LOSS: 0.1 LR: 0.01",
+        "Time: 00:40 Iter:    400 PSNR: 21.000000 LOSS: 0.1 LR: 0.01",
+        "Time: 01:00 Iter:    600 PSNR: 22.000000 LOSS: 0.1 LR: 0.01",
+    ]
+    d = tmp_path / "a"
+    d.mkdir()
+    (d / "train_log.txt").write_text("\n".join(lines) + "\n")
+    steps, psnrs, ms = parse_run(d)
+    assert list(steps) == [200, 400, 600]
+    assert ms == 100.0
+
+    # windowed log: clock resets at the window boundary; the boundary
+    # line's tranche is measured from 0 (the new process started there)
+    lines += [
+        "Time: 00:20 Iter:    800 PSNR: 23.000000 LOSS: 0.1 LR: 0.01",
+        "Time: 00:40 Iter:   1000 PSNR: 24.000000 LOSS: 0.1 LR: 0.01",
+    ]
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    (d2 / "train_log.txt").write_text("\n".join(lines) + "\n")
+    steps, psnrs, ms = parse_run(d2)
+    assert list(steps) == [200, 400, 600, 800, 1000]
+    assert ms == 100.0

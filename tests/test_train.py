@@ -306,6 +306,38 @@ class TestTrainer:
         with pytest.raises(FloatingPointError):
             tr.run(4)
 
+    def test_nan_recovery_rejects_poisoned_opt_state(
+            self, tiny_cfg, sphere_ds, tmp_path):
+        """A checkpoint with finite params but NaN Adam moments (saved
+        inside the NaN-detection lag window) must be skipped by
+        _recover — adopting it would re-poison training on the next
+        step (ADVICE r2)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from f2nerf_tpu.train.loop import Trainer
+        cfg = dataclasses.replace(
+            tiny_cfg,
+            train=dataclasses.replace(tiny_cfg.train, nan_recovery=1,
+                                      report_freq=2))
+        tr = Trainer(cfg, sphere_ds, result_dir=tmp_path)
+        tr.run(4)
+        tr.save_checkpoint()              # fully finite @ step 4
+        # newer checkpoint: params finite, opt_state poisoned
+        tr.opt_state = jax.tree.map(
+            lambda x: (jnp.full_like(x, jnp.nan)
+                       if hasattr(x, "dtype")
+                       and jnp.issubdtype(x.dtype, jnp.floating) else x),
+            tr.opt_state)
+        tr.step = 6
+        tr.save_checkpoint()
+        assert tr._recover()
+        assert tr.step == 4               # step-6 ckpt was refused
+        leaves = (jax.tree.leaves(jax.device_get(tr.params))
+                  + jax.tree.leaves(jax.device_get(tr.opt_state)))
+        assert all(np.isfinite(x).all() for x in leaves
+                   if np.issubdtype(np.asarray(x).dtype, np.floating))
+
 
 class TestExtras:
     def test_checkpoint_retention(self, tiny_cfg, sphere_ds, tmp_path):
