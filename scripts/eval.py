@@ -21,7 +21,18 @@ from f2nerf_tpu.utils.image_io import read_image  # noqa: E402
 from f2nerf_tpu.utils.metrics import psnr, ssim  # noqa: E402
 
 
-def try_lpips():
+def try_lpips(weights: str | None = None):
+    """Prefer the self-contained torch LPIPS (local weight file via
+    --lpips_weights / LPIPS_WEIGHTS / weights/lpips_vgg.pt —
+    f2nerf_tpu/utils/lpips.py); fall back to the lpips pip package if
+    one is installed. Returns None when neither is available."""
+    try:
+        from f2nerf_tpu.utils import lpips as lpips_tpu
+        model = lpips_tpu.load(weights)
+        if model is not None:
+            return model
+    except Exception as e:  # loader ran but weights were malformed
+        print(f"lpips: local loader failed ({e}); trying pip package")
     try:
         import torch  # noqa: F401
         import lpips  # type: ignore
@@ -36,6 +47,10 @@ def main() -> None:
     ap.add_argument("--pred_dir", required=True)
     ap.add_argument("--out", default=None,
                     help="output json (default <pred_dir>/info.json)")
+    ap.add_argument("--lpips_weights", default=None,
+                    help="local LPIPS(vgg) weight file "
+                         "(see f2nerf_tpu/utils/lpips.py; also read "
+                         "from the LPIPS_WEIGHTS env var)")
     args = ap.parse_args()
 
     gt_paths = sorted(glob.glob(str(pathlib.Path(args.gt_dir) / "*.png")))
@@ -45,7 +60,7 @@ def main() -> None:
         raise SystemExit(f"count mismatch: {len(gt_paths)} gt vs "
                          f"{len(pred_paths)} pred")
 
-    lpips_model = try_lpips()
+    lpips_model = try_lpips(args.lpips_weights)
     psnrs, ssims, lpipss = [], [], []
     for g, p in zip(gt_paths, pred_paths):
         gt = read_image(g)
@@ -70,8 +85,10 @@ def main() -> None:
         info["lpips_vgg"] = float(np.mean(lpipss))
     else:
         info["lpips_vgg"] = None
-        print("lpips: unavailable (lpips package / VGG weights not in "
-              "this environment; PSNR+SSIM only)")
+        print("lpips: weights absent (the loader itself is exercised "
+              "in tests/test_lpips.py; supply real VGG weights via "
+              "--lpips_weights / LPIPS_WEIGHTS, built by "
+              "scripts/export_lpips_weights.py on a connected machine)")
 
     out = args.out or str(pathlib.Path(args.pred_dir) / "info.json")
     with open(out, "w") as f:
