@@ -185,6 +185,18 @@ def main() -> int:
               "to continue")
         return 1
 
+    # The summary render (VALIDATE compile + one render per view) can
+    # take minutes and ignores SIGTERM — starting it with the budget
+    # nearly spent invites the caller's kill-after SIGKILL mid-render,
+    # the exact tunnel-wedge scenario PLAN.md warns about. If the
+    # window lacks comfortable room, defer: the next window resumes at
+    # step==stop, skips the train loop, and renders with a full budget.
+    summary_s = 150.0 + 3.0 * ds.n_images
+    if time.monotonic() - t0 > args.budget_s - summary_s:
+        print(f"training done at step {tr.step}; deferring summary "
+              f"render to a fresh window (needs ~{summary_s:.0f}s)")
+        return 1
+
     # field-health diagnostics: the occupancy decision fraction and the
     # mean-sigma EMA distribution expose density inflation (fog) long
     # before it shows in train PSNR — see BENCH_NOTES.md "long-horizon
