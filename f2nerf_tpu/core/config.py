@@ -73,6 +73,17 @@ class ModelConfig:
     # queries at the same fine spacing); 'dense' = reference-parity
     # uniform marcher.
     sampler_mode: str = "occ"
+    # dense TRAIN: mirror the reference's two-pass early-stop
+    # (renderer.cpp:58-88) with static shapes — a gradient-free full
+    # march decides the per-ray survivor prefix (transmittance >
+    # trans_eps), then the differentiable pass runs on the smallest
+    # bucketed prefix length K in {S/8, S/4, S/2, S} (lax.switch; all
+    # branches compile once). Outputs and gradients are exactly the
+    # masked single pass's (the mask is a prefix and masked samples
+    # contribute zero to both), but backward row/VPU cost scales with
+    # K/S. Worth ~2x on a converged field; the full-S branch pays one
+    # extra no-grad forward (~1.3x) while nothing terminates early.
+    dense_two_pass: bool = True
     occ_grid_res: int = 128
     occ_segments: int = 128
     # keep=8 with occ_trans_eps eligibility beats keep=16 without it on

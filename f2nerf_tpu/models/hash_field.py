@@ -90,7 +90,8 @@ def init(key: jax.Array, cfg: ModelConfig,
 
 
 @functools.lru_cache(maxsize=32)
-def ray_budgets(cfg: ModelConfig) -> tuple[int, ...] | None:
+def ray_budgets(cfg: ModelConfig,
+                s_override: int | None = None) -> tuple[int, ...] | None:
     """Per-level run budgets for ray-coherent encode dedup, or None when
     dedup does not apply (disabled, xor mode, or perspective warp).
 
@@ -120,8 +121,11 @@ def ray_budgets(cfg: ModelConfig) -> tuple[int, ...] | None:
         occ = (cfg.occ_keep, cfg.occ_samples_per_segment,
                cfg.occ_segments)
     else:
-        s = cfg.n_samples
-        march = 1.5 * cfg.n_samples * cfg.sample_l
+        # s_override: a dense two-pass prefix branch marches only the
+        # first K samples — shorter march => smaller certified budgets
+        # and more levels qualifying (models/renderer.py two-pass)
+        s = s_override if s_override is not None else cfg.n_samples
+        march = 1.5 * s * cfg.sample_l
         occ = None
     budgets = hash_paged.dedup_budgets(paged_meta(cfg), s, march,
                                        cfg.dedup_max_frac, occ=occ)
@@ -145,6 +149,16 @@ def query_rays(params: Params, consts: Params, points: jnp.ndarray,
                cfg: ModelConfig, encode_fn=None,
                point_grads: bool = True,
                level_weights=None) -> jnp.ndarray:
+    """See :func:`_query_rays`."""
+    return _query_rays(params, consts, points, cfg, encode_fn,
+                       point_grads, level_weights)
+
+
+def _query_rays(params: Params, consts: Params, points: jnp.ndarray,
+                cfg: ModelConfig, encode_fn=None,
+                point_grads: bool = True,
+                level_weights=None,
+                s_budget: int | None = None) -> jnp.ndarray:
     """Ray-structured field query: [R, S, 3] -> [R, S, hash_feat_dim].
 
     Identical results to :func:`query` on the flattened points (the
@@ -155,7 +169,8 @@ def query_rays(params: Params, consts: Params, points: jnp.ndarray,
     rows a coherent ray actually touches.
     """
     r, s = points.shape[0], points.shape[1]
-    budgets = ray_budgets(cfg) if encode_fn is None else None
+    budgets = (ray_budgets(cfg, s_override=s_budget)
+               if encode_fn is None else None)
     if budgets is None:
         return query(params, consts, points.reshape(r * s, 3), cfg,
                      encode_fn=encode_fn, point_grads=point_grads,

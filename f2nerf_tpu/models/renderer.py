@@ -109,12 +109,33 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
         smp = sampler.sample_rays(rays_o, rays_d, cfg, key_noise)
         s = cfg.n_samples
 
-    feat = hash_field.query_rays(params["field"], consts["field"],
-                                 smp.pts, cfg, encode_fn=encode_fn,
-                                 point_grads=point_grads,
-                                 level_weights=level_weights)  # [R, S, F]
+    two_pass = (train and cfg.sampler_mode == "dense"
+                and cfg.dense_two_pass and s % 8 == 0)
+    if two_pass:
+        return _render_two_pass(params, consts, smp, emb_idx, bg_color,
+                                cfg, train, encode_fn, point_grads,
+                                level_weights)
 
-    sigma = density_activation(feat[..., 0], cfg.density_shift)  # [R, S]
+    return _render_samples(params, consts, smp.pts, smp.dirs, smp.t,
+                           smp.dt, getattr(smp, "explore", None),
+                           emb_idx, bg_color, cfg, train, encode_fn,
+                           point_grads, level_weights)
+
+
+def _render_samples(params, consts, pts, ray_dirs, t, dt, explore,
+                    emb_idx, bg_color, cfg, train, encode_fn,
+                    point_grads, level_weights,
+                    s_budget: int | None = None) -> RenderResult:
+    """Field query + shading + masked compositing over [R, S'] samples
+    (the whole march, or a two-pass prefix slice of it)."""
+    r, s = pts.shape[0], pts.shape[1]
+    feat = hash_field._query_rays(params["field"], consts["field"],
+                                  pts, cfg, encode_fn=encode_fn,
+                                  point_grads=point_grads,
+                                  level_weights=level_weights,
+                                  s_budget=s_budget)  # [R, S', F]
+
+    sigma = density_activation(feat[..., 0], cfg.density_shift)  # [R, S']
 
     # shading feature: [1, feat_1..F-1] (renderer.cpp:95-99)
     shading_feat = jnp.concatenate(
@@ -122,19 +143,76 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
     if train and emb_idx is not None:
         shading_feat = shading_feat + params["app_emb"][emb_idx][:, None, :]
 
-    dirs = jnp.broadcast_to(smp.dirs[:, None, :], (r, s, 3))
+    dirs = jnp.broadcast_to(ray_dirs[:, None, :], (r, s, 3))
     colors = sh_shader.query(params["shader"], shading_feat, dirs, cfg)
 
     # where(dt > 0, ...) rather than a bare product: the TruncExp
     # density is unbounded and inf * 0 (dt_0 = 0 / invalid samples)
     # would inject NaN into the compositing cumsum
-    sec_density = jnp.where(smp.dt > 0.0, sigma * smp.dt, 0.0)  # [R, S]
+    sec_density = jnp.where(dt > 0.0, sigma * dt, 0.0)  # [R, S']
     rgb, depth, weights, mask = composite(
-        sec_density, colors, smp.t, bg_color, cfg.trans_eps)
+        sec_density, colors, t, bg_color, cfg.trans_eps)
     return RenderResult(colors=rgb, depths=depth, weights=weights,
-                        mask=mask, t=smp.t, dt=smp.dt,
+                        mask=mask, t=t, dt=dt,
                         sec_density=sec_density,
-                        explore=getattr(smp, "explore", None))
+                        explore=explore)
+
+
+def _render_two_pass(params, consts, smp, emb_idx, bg_color, cfg, train,
+                     encode_fn, point_grads, level_weights
+                     ) -> RenderResult:
+    """Dense TRAIN two-pass: the reference's early-stop compaction
+    (renderer.cpp:58-88), restructured for static shapes.
+
+    Pass 1 is gradient-free (the reference's pass-1 query feeds only
+    integer survivor indices, so its autograd graph is pruned there
+    too) and computes the per-ray survivor prefix length k_i =
+    #{transmittance > trans_eps}. The differentiable pass then runs on
+    the smallest bucket K in {S/8, S/4, S/2, S} covering max_i k_i
+    (lax.switch — every branch is compiled once, one executes per
+    step). Because the survivor mask is a prefix and masked samples
+    contribute exactly zero to the composite and its gradients, the
+    K-sliced computation reproduces the full masked single pass.
+    """
+    r, s = smp.pts.shape[0], smp.pts.shape[1]
+
+    # pass 1: density only, no gradients
+    pts1 = jax.lax.stop_gradient(smp.pts)
+    feat1 = hash_field.query_rays(
+        jax.lax.stop_gradient(params["field"]),
+        jax.lax.stop_gradient(consts["field"]), pts1, cfg,
+        encode_fn=encode_fn, point_grads=False,
+        level_weights=level_weights)
+    sigma1 = density_activation(feat1[..., 0], cfg.density_shift)
+    sec1 = jnp.where(smp.dt > 0.0, sigma1 * smp.dt, 0.0)
+    from f2nerf_tpu.ops.composite import exclusive_cumsum
+    trans1 = jnp.exp(-exclusive_cumsum(sec1, axis=-1))
+    kmax = jnp.max(jnp.sum(trans1 > cfg.trans_eps, axis=-1))  # scalar
+
+    buckets = (s // 8, s // 4, s // 2, s)
+
+    def make_branch(k):
+        def branch(_):
+            res = _render_samples(
+                params, consts, smp.pts[:, :k], smp.dirs,
+                smp.t[:, :k], smp.dt[:, :k], None, emb_idx, bg_color,
+                cfg, train, encode_fn, point_grads, level_weights,
+                s_budget=k)
+            pad = ((0, 0), (0, s - k))
+            return RenderResult(
+                colors=res.colors, depths=res.depths,
+                weights=jnp.pad(res.weights, pad),
+                mask=jnp.pad(res.mask, pad),
+                t=smp.t, dt=smp.dt,
+                sec_density=jnp.pad(res.sec_density, pad),
+                explore=None)
+        return branch
+
+    idx = (kmax > buckets[0]).astype(jnp.int32) \
+        + (kmax > buckets[1]).astype(jnp.int32) \
+        + (kmax > buckets[2]).astype(jnp.int32)
+    return jax.lax.switch(idx, [make_branch(k) for k in buckets],
+                          jnp.zeros((), jnp.int32))
 
 
 import functools

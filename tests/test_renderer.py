@@ -126,3 +126,71 @@ def test_infinite_density_does_not_nan(tiny_cfg, rng):
     res = rnd.render(params, consts, o, d, None, cfg, None, train=False)
     assert bool(jnp.isfinite(res.colors).all())
     assert bool(jnp.isfinite(res.depths).all())
+
+
+class TestDenseTwoPass:
+    """The dense TRAIN two-pass (reference renderer.cpp:58-88 early
+    stop, static-shape rebuild) must reproduce the masked single pass
+    exactly — outputs and gradients — in every bucket branch."""
+
+    def _compare(self, cfg_model, rng):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from f2nerf_tpu.models import renderer
+
+        cfg_tp = dataclasses.replace(cfg_model, dense_two_pass=True)
+        cfg_sp = dataclasses.replace(cfg_model, dense_two_pass=False)
+        params, consts = renderer.init(jax.random.key(0), cfg_model, 4)
+        o = jnp.asarray(rng.standard_normal((8, 3)) * 0.2, jnp.float32)
+        d = rng.standard_normal((8, 3))
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.float32)
+        emb = jnp.zeros((8,), jnp.int32)
+        key = jax.random.key(3)
+
+        def run(cfg, p):
+            res = renderer.render(p, consts, o, d, emb, cfg, key,
+                                  train=True, point_grads=False)
+            return res
+
+        def loss(cfg, p):
+            res = run(cfg, p)
+            return (jnp.sum(res.colors) + jnp.sum(res.depths)
+                    + jnp.sum(res.weights * res.t))
+
+        r_tp = jax.jit(lambda p: run(cfg_tp, p))(params)
+        r_sp = jax.jit(lambda p: run(cfg_sp, p))(params)
+        np.testing.assert_allclose(r_tp.colors, r_sp.colors,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(r_tp.depths, r_sp.depths,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(r_tp.weights, r_sp.weights,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(r_tp.mask),
+                                      np.asarray(r_sp.mask))
+
+        g_tp = jax.jit(jax.grad(lambda p: loss(cfg_tp, p)))(params)
+        g_sp = jax.jit(jax.grad(lambda p: loss(cfg_sp, p)))(params)
+        # rtol 5e-3: the switch-wrapped branch compiles as a different
+        # XLA program (different fusion/reassociation) — a handful of
+        # small-magnitude grad elements differ at the ~1e-3 level; a
+        # real mask/slice bug would be orders of magnitude larger
+        for a, b in zip(jax.tree.leaves(g_tp), jax.tree.leaves(g_sp)):
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6)
+        return r_tp
+
+    def test_full_bucket(self, tiny_cfg, rng):
+        """Near-init field: nothing terminates, the full-S branch runs."""
+        res = self._compare(tiny_cfg.model, rng)
+        assert bool(np.asarray(res.mask).all())
+
+    def test_prefix_bucket(self, tiny_cfg, rng):
+        """Boosted density terminates rays early -> a prefix branch."""
+        import dataclasses
+        cfg = dataclasses.replace(tiny_cfg.model, density_shift=-2.0)
+        res = self._compare(cfg, rng)
+        m = np.asarray(res.mask)
+        assert m.sum() < m.size  # the early-stop actually cut samples
