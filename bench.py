@@ -202,8 +202,13 @@ def main() -> None:
 
     # Chunked measurement: the watchdog reads _best between chunks, so
     # a run cut short still reports a real steady-state number.
+    # chunk=10: each chunk boundary forces a device sync (the watchdog
+    # needs fresh numbers), but syncs are not free over the tunnel —
+    # 5-iter chunks measured ~5% slower than round 1's single-sync
+    # methodology; 10-iter chunks keep the watchdog current within
+    # ~1.5 s while adding only 4 extra syncs per 50 iters.
     iters = 10 if args.quick else args.iters
-    chunk = max(1, min(5, iters))
+    chunk = max(1, min(10, iters))
     n_chips = jax.device_count()
     done = 0
     t_total = 0.0

@@ -422,3 +422,33 @@ class TestDedupEncode:
         assert budgets[-1] == 0      # finest level does not
         s = cfg.occ_keep * cfg.occ_samples_per_segment
         assert all(b <= cfg.dedup_max_frac * s for b in budgets)
+
+
+def test_compute_runs_binary_search_equivalence():
+    """The binary-search run-page lookup must match the (correct-by-
+    construction) dense where+max formulation on every used run slot,
+    under production fill semantics (fill = the level's minimum page
+    index). Randomized run structures, budgets >= true run counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from f2nerf_tpu.ops.hash_paged import compute_runs
+
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        r, s = int(rng.integers(2, 10)), int(rng.integers(8, 80))
+        base = rng.integers(0, 7, (r, s)).astype(np.int32)
+        runs = np.cumsum(rng.random((r, s)) < rng.random(),
+                         axis=1).astype(np.int32)
+        pages = (base + 13 * runs) % 997
+        b = int(1 + (pages[:, 1:] != pages[:, :-1]).sum(axis=1).max()
+                + rng.integers(1, 4))
+        fill = int(pages.min())
+        pi = jnp.asarray(pages)
+        rid, rp = compute_runs(pi, b, fill)
+        rid, rp = np.asarray(rid), np.asarray(rp)
+        # oracle: page of each run's first sample, per ray
+        for ray in range(r):
+            for bb in np.unique(rid[ray]):
+                first = int(np.argmax(rid[ray] == bb))
+                assert rp[ray, bb] == pages[ray, first], (ray, bb)
