@@ -166,15 +166,23 @@ def _render_two_pass(params, consts, smp, emb_idx, bg_color, cfg, train,
 
     Pass 1 is gradient-free (the reference's pass-1 query feeds only
     integer survivor indices, so its autograd graph is pruned there
-    too) and computes the per-ray survivor prefix length k_i =
-    #{transmittance > trans_eps}. The differentiable pass then runs on
-    the smallest bucket K in {S/8, S/4, S/2, S} covering max_i k_i
-    (lax.switch — every branch is compiled once, one executes per
-    step). Because the survivor mask is a prefix and masked samples
-    contribute exactly zero to the composite and its gradients, the
-    K-sliced computation reproduces the full masked single pass.
+    too) and computes the survivor mask (transmittance > trans_eps).
+    Like the reference's ragged CSR rebuild, the differentiable pass
+    then runs on a gather-COMPACTED flat buffer whose size is the
+    smallest bucket in {RS/8, RS/4, RS/2, RS} covering the TOTAL
+    survivor count (lax.switch; each branch compiles once). A total
+    budget — not a per-ray max — matters: on a trained field the mean
+    survivor prefix is ~25% of S while the batch max exceeds 70%
+    (BENCH_NOTES r3), so any per-ray-max scheme degenerates to full-S.
+    Compacted samples keep ray-major order; compositing runs as
+    deterministic per-ray segment sums, and masked-out samples
+    contribute exactly zero to outputs and gradients — reproducing the
+    masked single pass. The full bucket falls back to the plain single
+    pass (paying only pass 1 extra) while the field is young and
+    nothing terminates.
     """
     r, s = smp.pts.shape[0], smp.pts.shape[1]
+    n = r * s
 
     # pass 1: density only, no gradients
     pts1 = jax.lax.stop_gradient(smp.pts)
@@ -187,32 +195,80 @@ def _render_two_pass(params, consts, smp, emb_idx, bg_color, cfg, train,
     sec1 = jnp.where(smp.dt > 0.0, sigma1 * smp.dt, 0.0)
     from f2nerf_tpu.ops.composite import exclusive_cumsum
     trans1 = jnp.exp(-exclusive_cumsum(sec1, axis=-1))
-    kmax = jnp.max(jnp.sum(trans1 > cfg.trans_eps, axis=-1))  # scalar
+    mask1 = trans1 > cfg.trans_eps                     # [R, S] prefix
+    n_surv = jnp.sum(mask1.astype(jnp.int32))          # scalar
 
-    buckets = (s // 8, s // 4, s // 2, s)
+    # survivors first, ray-major order preserved (stable sort of the
+    # flat ~mask); the tail entries are non-survivors whose sec is
+    # forced to 0 in the compact branch
+    order = jnp.argsort(jnp.logical_not(mask1).ravel(), stable=True)
 
-    def make_branch(k):
+    flat_t, flat_dt = smp.t.ravel(), smp.dt.ravel()
+    flat_pts = smp.pts.reshape(n, 3)
+
+    def compact_branch(nb):
         def branch(_):
-            res = _render_samples(
-                params, consts, smp.pts[:, :k], smp.dirs,
-                smp.t[:, :k], smp.dt[:, :k], None, emb_idx, bg_color,
-                cfg, train, encode_fn, point_grads, level_weights,
-                s_budget=k)
-            pad = ((0, 0), (0, s - k))
+            idx = order[:nb]                           # [NB]
+            ray_id = idx // s                          # [NB]
+            valid = jnp.arange(nb) < n_surv            # [NB]
+            pts = flat_pts[idx]
+            t = flat_t[idx]
+            dt = jnp.where(valid, flat_dt[idx], 0.0)
+            feat = hash_field.query(params["field"], consts["field"],
+                                    pts, cfg, encode_fn=encode_fn,
+                                    point_grads=point_grads,
+                                    level_weights=level_weights)
+            sigma = density_activation(feat[..., 0], cfg.density_shift)
+            shading_feat = jnp.concatenate(
+                [jnp.ones_like(feat[..., :1]), feat[..., 1:]], axis=-1)
+            if train and emb_idx is not None:
+                shading_feat = (shading_feat
+                                + params["app_emb"][emb_idx][ray_id])
+            dirs = smp.dirs[ray_id]
+            colors = sh_shader.query(params["shader"],
+                                     shading_feat[:, None, :],
+                                     dirs[:, None, :], cfg)[:, 0]
+            sec = jnp.where((dt > 0.0) & valid, sigma * dt, 0.0)
+            # per-ray exclusive prefix sums in flat ray-major order
+            cum = jnp.cumsum(sec)
+            per_ray = jax.ops.segment_sum(sec, ray_id, num_segments=r)
+            base = jnp.concatenate(
+                [jnp.zeros((1,), sec.dtype), jnp.cumsum(per_ray)[:-1]])
+            excl = (cum - sec) - base[ray_id]
+            trans = jnp.exp(-excl)
+            alpha = 1.0 - jnp.exp(-sec)
+            w = trans * alpha * valid
+            last_trans = jnp.exp(-per_ray)              # [R]
+            rgb = (jax.ops.segment_sum(w[:, None] * colors, ray_id,
+                                       num_segments=r)
+                   + last_trans[:, None] * bg_color)
+            depth = (jax.ops.segment_sum(w * (t + 1e-2), ray_id,
+                                         num_segments=r)
+                     / (1.0 - last_trans + 1e-4))
+            # scatter weights/sec back to [R, S] for the ray-shaped
+            # losses (unique indices -> deterministic)
+            w_full = jnp.zeros((n,), w.dtype).at[idx].set(w)
+            sec_full = jnp.zeros((n,), sec.dtype).at[idx].set(sec)
             return RenderResult(
-                colors=res.colors, depths=res.depths,
-                weights=jnp.pad(res.weights, pad),
-                mask=jnp.pad(res.mask, pad),
-                t=smp.t, dt=smp.dt,
-                sec_density=jnp.pad(res.sec_density, pad),
+                colors=rgb, depths=depth,
+                weights=w_full.reshape(r, s),
+                mask=mask1, t=smp.t, dt=smp.dt,
+                sec_density=sec_full.reshape(r, s),
                 explore=None)
         return branch
 
-    idx = (kmax > buckets[0]).astype(jnp.int32) \
-        + (kmax > buckets[1]).astype(jnp.int32) \
-        + (kmax > buckets[2]).astype(jnp.int32)
-    return jax.lax.switch(idx, [make_branch(k) for k in buckets],
-                          jnp.zeros((), jnp.int32))
+    def full_branch(_):
+        return _render_samples(params, consts, smp.pts, smp.dirs,
+                               smp.t, smp.dt, None, emb_idx, bg_color,
+                               cfg, train, encode_fn, point_grads,
+                               level_weights)
+
+    buckets = (n // 8, n // 4, n // 2)
+    idx = (n_surv > buckets[0]).astype(jnp.int32) \
+        + (n_surv > buckets[1]).astype(jnp.int32) \
+        + (n_surv > buckets[2]).astype(jnp.int32)
+    branches = [compact_branch(b) for b in buckets] + [full_branch]
+    return jax.lax.switch(idx, branches, jnp.zeros((), jnp.int32))
 
 
 import functools
