@@ -303,10 +303,21 @@ class Config:
         weight-variance at 1e-2 suppresses legitimately-spread geometry
         under occupancy sampling; measurements in BENCH_NOTES.md).
 
-        The var-loss ramp and LR warmup scale with ``end_iter`` (at the
-        reference's 20k they equal the reference's 5k->10k ramp and 1k
-        warmup, confs/train_config.yaml:10-15); a fixed 5000-step start
-        would silently disable the distortion loss for short runs.
+        The LR warmup scales with ``end_iter`` (at the reference's 20k
+        it equals the reference's 1k warmup,
+        confs/train_config.yaml:10-15).
+
+        var_loss_weight is 0 here (round 3): the distortion ramp at
+        1e-3 is the measured trigger of the long-horizon quality
+        decay — the controlled 32-view 20k A/B collapses at the ramp
+        (train EMA 27->15, fog re-inflates, _runs/r3_gen32) and
+        collapses EARLIER with a weaker sparsity loss, while the
+        var_loss_weight=0 arm rides through the same zone at 31-32 dB
+        (_runs/r3_gen32_var0); round 2's 16-view peak-vs-final sag
+        (36.6@4.5k -> 30.7@20k) spans the same ramp steps. Floater
+        control under occupancy sampling is already carried by the
+        explore-sparsity term. Set 1e-3 back explicitly for scenes
+        that need distortion regularization at short horizons.
         """
         return Config(
             train=TrainConfig(pts_batch_size=4096 * 512,
@@ -315,7 +326,7 @@ class Config:
                               learning_rate_warm_up_end_iter=max(
                                   end_iter // 20, 1),
                               var_loss_mode="distortion",
-                              var_loss_weight=1e-3,
+                              var_loss_weight=0.0,
                               var_loss_start=end_iter // 4,
                               var_loss_end=end_iter // 2,
                               # anti-fog term: occupancy sampling only
