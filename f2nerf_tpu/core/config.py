@@ -224,6 +224,19 @@ class TrainConfig:
     # 0 disables (reference parity; the reference's dense march has no
     # unsupervised region).
     explore_sparsity_weight: float = 0.0
+    # global density prior: each step, penalize log1p(sigma) at this
+    # many uniform random points of the contracted domain (0 = off).
+    # Rationale (round 3, _runs/r3_gen32_var0 autopsy): hash-collision
+    # gradients write structured density garbage into space no training
+    # ray ever traverses (e.g. the near-camera shell of a held-out ring
+    # position — train rays march inward from their OWN positions), and
+    # renders from novel poses look through that shell: holdout renders
+    # scored ~10 dB off a 28-view model whose train views render at
+    # 28-34 dB. The explore-sparsity term only supervises along train
+    # rays; this weak volume-wide prior (the Plenoxels/DVGO sparsity
+    # regularizer) reaches everywhere. ~0.4% step cost at 8192 points.
+    global_sparsity_points: int = 8192
+    global_sparsity_weight: float = 0.0
     # shard-count-invariant gradients: when > 0, the ray batch is split
     # into this many fixed blocks, per-block gradients are computed
     # independently (vmap), gathered to every device, and reduced in a

@@ -106,6 +106,26 @@ def make_loss_fn(cfg: Config, encode_fn=None):
             fog = jnp.log1p(jnp.clip(res.sec_density, 0.0, 1e4)) * m
             exp_loss = jnp.sum(fog) / jnp.maximum(jnp.sum(m), 1.0)
             loss = loss + cfg.train.explore_sparsity_weight * exp_loss
+        if cfg.train.global_sparsity_weight > 0.0:
+            # volume-wide density prior at random contracted-domain
+            # points: reaches the hash-collision garbage in space no
+            # train ray traverses (TrainConfig.global_sparsity_weight
+            # rationale; novel-pose renders look through that space)
+            from f2nerf_tpu.models import renderer as renderer_mod
+            k_gs = jax.random.fold_in(key, 0x675)
+            n_gs = cfg.train.global_sparsity_points
+            # contracted domain = open ball of radius 1 + r
+            # (ops/contraction.py: |x| <= r identity, else -> 1 + r)
+            dom_r = 1.0 + cfg.model.contraction_radius
+            gpts = jax.random.uniform(k_gs, (n_gs, 3),
+                                      minval=-dom_r, maxval=dom_r)
+            in_dom = (jnp.linalg.norm(gpts, axis=-1)
+                      < dom_r * 0.999).astype(jnp.float32)
+            sig_gs = renderer_mod.density_at(params, consts, gpts,
+                                             cfg.model, contracted=True)
+            gs = jnp.log1p(jnp.clip(sig_gs, 0.0, 1e4)) * in_dom
+            gs_loss = jnp.sum(gs) / jnp.maximum(jnp.sum(in_dom), 1.0)
+            loss = loss + cfg.train.global_sparsity_weight * gs_loss
 
         mse = jnp.mean((res.colors - gt) ** 2)
         psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))

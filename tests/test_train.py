@@ -389,3 +389,40 @@ def test_resume_upgrades_legacy_occ_grid(occ_cfg, sphere_ds, tmp_path):
     assert bool(jnp.all(tr2.occ_grid[1] == 0.0))
     tr2.run(3)                       # continues cleanly
     assert tr2.step == 9
+
+
+def test_global_sparsity_prior_drains_unsupervised_density(
+        tiny_cfg, sphere_ds):
+    """TrainConfig.global_sparsity_weight: a volume-wide log1p(sigma)
+    prior at random contracted-domain points must reduce density in
+    space no training ray supervises (the round-3 holdout-garbage
+    mechanism), and weight 0 must leave the step unchanged."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from f2nerf_tpu.models import renderer
+    from f2nerf_tpu.train.loop import Trainer
+
+    def run(gw, steps=40):
+        cfg = dataclasses.replace(
+            tiny_cfg,
+            # density_shift=-1 boosts sigma into the regime the prior
+            # exists for (fog; log1p's gradient scales with sigma, so
+            # a near-zero-density init barely moves)
+            model=dataclasses.replace(tiny_cfg.model,
+                                      density_shift=-1.0),
+            train=dataclasses.replace(tiny_cfg.train,
+                                      global_sparsity_weight=gw,
+                                      global_sparsity_points=512))
+        tr = Trainer(cfg, sphere_ds, result_dir=None)
+        tr.run(steps)
+        rng = np.random.default_rng(5)
+        pts = jnp.asarray(rng.uniform(-1.6, 1.6, (256, 3)),
+                          jnp.float32)
+        sig = renderer.density_at(tr.params, tr.consts, pts,
+                                  cfg.model, contracted=True)
+        return float(jnp.mean(sig))
+
+    base = run(0.0)
+    pruned = run(1.0)
+    assert pruned < base * 0.7, (pruned, base)
