@@ -9,11 +9,12 @@ set -u
 export PYTHONPATH=/root/.axon_site
 LOG="$1"; RD="$2"; DS="$3"; TESTDS="${4:-}"
 MAX_WINDOWS=${MAX_WINDOWS:-80}
+WINDOW_S=${WINDOW_S:-580}
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_compilation_cache
 for i in $(seq 1 "$MAX_WINDOWS"); do
   echo "=== window $i $(date -u +%H:%M:%S) ===" >> "$LOG"
-  timeout --signal=TERM --kill-after=120 580 \
+  timeout --signal=TERM --kill-after=180 "$WINDOW_S" \
     python -m f2nerf_tpu.apps.main train "$RD" "$DS" >> "$LOG" 2>&1
   rc=$?
   echo "=== window $i exit $rc ===" >> "$LOG"
