@@ -315,26 +315,23 @@ def compute_runs(page_idx_l: jnp.ndarray, budget: int, fill: int
     Returns:
       run_id [R, S] int32 in [0, budget), run_page [R, budget] int32.
     """
-    r, s_ = page_idx_l.shape
+    r = page_idx_l.shape[0]
     chg = (page_idx_l[:, 1:] != page_idx_l[:, :-1]).astype(jnp.int32)
     run_id = jnp.concatenate(
         [jnp.zeros((r, 1), jnp.int32), jnp.cumsum(chg, axis=1)], axis=1)
     run_id = jnp.minimum(run_id, budget - 1)
-    # Start index of run b = first position with run_id >= b (run ids
-    # are consecutive and non-decreasing along the ray), found by a
-    # vmapped binary search; the page at that start is the run's page.
-    # This replaces a [R, S, B] int32 where+max (whose materialization
-    # alone cost ~7 ms/step at the dense 512x1024 point) with
-    # [R, B]·log2(S) scalar work. Slots past the last run clamp to the
-    # ray's final sample — any in-range page works there (`fill`
-    # semantics): the one-hot expansion never selects an unused run's
-    # row.
-    del fill
     b_iota = jnp.arange(budget, dtype=jnp.int32)
-    starts = jax.vmap(
-        lambda row: jnp.searchsorted(row, b_iota, side="left"))(run_id)
-    starts = jnp.minimum(starts.astype(jnp.int32), s_ - 1)
-    run_page = jnp.take_along_axis(page_idx_l, starts, axis=1)
+    # All samples of a run share the page, so max == the page; empty run
+    # slots keep `fill` (callers pass the level's FIRST page, which is
+    # also the level's minimum global index — required: max() would
+    # otherwise return `fill` for runs whose page < fill). A vmapped
+    # binary search over run starts was tried here (round 3) and is
+    # 3x SLOWER end-to-end on TPU (encode fwd 42 -> 130 ms at the dense
+    # point; jnp.searchsorted lowers to per-element scans) — the dense
+    # [R, S, B] where+max vectorizes, the "cheaper" search does not.
+    run_page = jnp.max(
+        jnp.where(run_id[:, :, None] == b_iota, page_idx_l[:, :, None],
+                  fill), axis=1)
     return run_id, run_page
 
 
