@@ -75,15 +75,19 @@ class ModelConfig:
     sampler_mode: str = "occ"
     # dense TRAIN: mirror the reference's two-pass early-stop
     # (renderer.cpp:58-88) with static shapes — a gradient-free full
-    # march decides the per-ray survivor prefix (transmittance >
-    # trans_eps), then the differentiable pass runs on the smallest
-    # bucketed prefix length K in {S/8, S/4, S/2, S} (lax.switch; all
-    # branches compile once). Outputs and gradients are exactly the
-    # masked single pass's (the mask is a prefix and masked samples
-    # contribute zero to both), but backward row/VPU cost scales with
-    # K/S. Worth ~2x on a converged field; the full-S branch pays one
-    # extra no-grad forward (~1.3x) while nothing terminates early.
-    dense_two_pass: bool = True
+    # march finds the survivor mask (transmittance > trans_eps), then
+    # the differentiable pass runs on a CSR gather-compacted buffer
+    # sized by the smallest total-survivor bucket in {RS/8, RS/4,
+    # RS/2, RS} (lax.switch; all branches compile once). Outputs and
+    # gradients equal the masked single pass (equivalence-tested).
+    # Default OFF after on-TPU measurement (BENCH_NOTES r3 "Dense
+    # two-pass"): it pays only when survivors < ~20-25% of R*S — the
+    # break-even where pass 2's savings beat pass 1's extra no-grad
+    # forward plus the sort/gather/scatter overheads. The trained
+    # checker field sits at ~26% survivors (159 vs 113 ms/step), and a
+    # young field pays pass 1 for nothing (162 vs 114). Enable for
+    # scenes with tight depth ranges / fast-terminating rays.
+    dense_two_pass: bool = False
     occ_grid_res: int = 128
     occ_segments: int = 128
     # keep=8 with occ_trans_eps eligibility beats keep=16 without it on
