@@ -64,6 +64,7 @@ def main() -> int:
                     choices=("occ", "dense"),
                     help="override ModelConfig.sampler_mode")
     ap.add_argument("--n_levels", type=int, default=None)
+    ap.add_argument("--log2_table_size", type=int, default=None)
     ap.add_argument("--n_channels", type=int, default=None)
     ap.add_argument("--warp_mode", default=None,
                     choices=("contract", "perspective"))
@@ -139,6 +140,7 @@ def main() -> int:
             tkw[name] = getattr(args, name)
     mkw = {}
     for src, dst in (("sampler", "sampler_mode"), ("n_levels", "n_levels"),
+                     ("log2_table_size", "log2_table_size"),
                      ("n_channels", "n_channels"), ("warp_mode", "warp_mode"),
                      ("occ_thresh", "occ_thresh"), ("occ_decay", "occ_decay"),
                      ("occ_trans_eps", "occ_trans_eps"),
