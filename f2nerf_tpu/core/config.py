@@ -73,6 +73,20 @@ class ModelConfig:
     # queries at the same fine spacing); 'dense' = reference-parity
     # uniform marcher.
     sampler_mode: str = "occ"
+    # near-plane march offset: ray sampling starts at t = sample_near
+    # instead of the camera pinhole. The reference marches from t ~ 0
+    # (src/points_sampler.cpp:38-47) and ignores the cams_meta near/far
+    # bounds entirely (src/dataset.cpp reads them but no sampler
+    # consumes them); that works on its forward-trajectory captures,
+    # where each camera's near shell is traversed by the cameras behind
+    # it, but on inward-looking rings the shell in front of each camera
+    # is seen by THAT CAMERA ALONE — a zero-multi-view-constraint zone
+    # where SGD paints each train image onto a private near-field
+    # billboard (perfect train PSNR, garbage from every novel pose; the
+    # round-3 holdout autopsy, BENCH_NOTES.md). Units are normalized
+    # scene units (cameras lie on the unit ball after
+    # normalize_poses). 0 = reference parity.
+    sample_near: float = 0.0
     # dense TRAIN: mirror the reference's two-pass early-stop
     # (renderer.cpp:58-88) with static shapes — a gradient-free full
     # march finds the survivor mask (transmittance > trans_eps), then

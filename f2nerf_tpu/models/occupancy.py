@@ -197,8 +197,12 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
-    # 1. occupancy of each segment (midpoint lookup, contracted space)
-    t_mid = (jnp.arange(n_seg, dtype=jnp.float32) + 0.5) * seg_len
+    # 1. occupancy of each segment (midpoint lookup, contracted space).
+    # The march window is [sample_near, sample_near + march): the near
+    # offset excises the single-view billboard shell in front of each
+    # camera (see ModelConfig.sample_near).
+    t_mid = (cfg.sample_near
+             + (jnp.arange(n_seg, dtype=jnp.float32) + 0.5) * seg_len)
     mid = rays_o[:, None, :] + dirs[:, None, :] * t_mid[None, :, None]
     cell = _cell_index(contract(mid), cfg.occ_grid_res)  # [R, n_seg]
     if vals.ndim == 2:          # [2, G^3] from occ_values — one gather
@@ -313,7 +317,8 @@ def sample_rays_occ(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         u = jnp.full((r, keep, sps), 0.5)
     else:
         u = jax.random.uniform(key_within, (r, keep, sps))
-    base = seg_idx.astype(jnp.float32)[..., None] * seg_len
+    base = (cfg.sample_near
+            + seg_idx.astype(jnp.float32)[..., None] * seg_len)
     within = (jnp.arange(sps, dtype=jnp.float32)[None, None, :] + u) \
         * (seg_len / sps)
     t = (base + within).reshape(r, keep * sps)      # [R, S]

@@ -47,7 +47,7 @@ def sample_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         noise = jnp.ones((r, s), dtype=jnp.float32)
     else:
         noise = jax.random.uniform(key, (r, s)) - 0.5 + 1.0
-    t = jnp.cumsum(noise, axis=-1) * cfg.sample_l               # [R, S]
+    t = cfg.sample_near + jnp.cumsum(noise, axis=-1) * cfg.sample_l  # [R, S]
 
     pts = rays_o[:, None, :] + dirs[:, None, :] * t[..., None]  # [R, S, 3]
     dt = jnp.diff(t, axis=-1, prepend=t[:, :1])                 # dt_0 = 0

@@ -74,6 +74,10 @@ def main() -> int:
                     help="1/0: stratify explore slots over the "
                          "ineligible set only (models/occupancy.py)")
     ap.add_argument("--occ_trans_eps", type=float, default=None)
+    ap.add_argument("--sample_near", type=float, default=None,
+                    help="march start offset (ModelConfig.sample_near);"
+                         " excises the single-view near-camera shell on"
+                         " ring scenes")
     ap.add_argument("--occ_explore_slots", type=int, default=None)
     ap.add_argument("--var_loss_weight", type=float, default=None,
                     help="override; default keeps the reference value")
@@ -144,6 +148,7 @@ def main() -> int:
                      ("n_channels", "n_channels"), ("warp_mode", "warp_mode"),
                      ("occ_thresh", "occ_thresh"), ("occ_decay", "occ_decay"),
                      ("occ_trans_eps", "occ_trans_eps"),
+                     ("sample_near", "sample_near"),
                      ("occ_explore_slots", "occ_explore_slots")):
         if getattr(args, src) is not None:
             mkw[dst] = getattr(args, src)

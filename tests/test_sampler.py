@@ -383,3 +383,68 @@ class TestTransAwareEligibility:
         s = occupancy.sample_rays_occ(o, d, vals, cfg, key=None)
         assert bool(jnp.isfinite(s.pts).all())
         assert bool(s.valid[:, 0].all())   # first segment stays eligible
+
+
+class TestSampleNear:
+    """ModelConfig.sample_near shifts the march window [near, near+march)
+    in both samplers (the billboard-shell fix, BENCH_NOTES round 4)."""
+
+    def test_dense_near_offsets_t(self):
+        cfg = ModelConfig(n_samples=16, sample_l=1.0 / 8.0,
+                          sample_near=0.3)
+        o = jnp.zeros((2, 3))
+        d = jnp.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        s = sample_rays(o, d, cfg, key=None)
+        expect_t = 0.3 + (np.arange(16) + 1) / 8.0
+        np.testing.assert_allclose(s.t[0], expect_t, rtol=1e-6)
+        # dt unchanged by the shift (dt_0 = 0 convention kept)
+        np.testing.assert_allclose(s.dt[:, 0], 0.0, atol=1e-7)
+        np.testing.assert_allclose(s.dt[:, 1:], 1.0 / 8.0, rtol=1e-6)
+        # points on the ray at the shifted distances
+        np.testing.assert_allclose(
+            s.pts[0, 3], np.array([0, 0, -1.0]) * expect_t[3], atol=1e-6)
+
+    def test_dense_near_train_min_t(self):
+        cfg = ModelConfig(n_samples=16, sample_l=1.0 / 8.0,
+                          sample_near=0.5)
+        o = jnp.zeros((4, 3))
+        d = jnp.asarray([[0.0, 0.0, -1.0]] * 4)
+        s = sample_rays(o, d, cfg, key=jax.random.key(0))
+        assert float(s.t.min()) >= 0.5 + 0.5 / 8.0 - 1e-6
+
+    def test_occ_near_shifts_window(self):
+        cfg = ModelConfig(
+            n_samples=32, sample_l=1.0 / 8.0, sampler_mode="occ",
+            occ_grid_res=16, occ_segments=16, occ_keep=4,
+            occ_samples_per_segment=2, occ_trans_eps=0.0,
+            sample_near=0.25)
+        bits = jnp.ones(16 ** 3, bool)
+        o = jnp.zeros((2, 3))
+        d = jnp.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        s = occupancy.sample_rays_occ(o, d, bits, cfg, key=None)
+        march = 32 / 8.0
+        assert float(s.t.min()) >= 0.25
+        assert float(s.t.max()) <= 0.25 + march
+        # same window under TRAIN jitter
+        s2 = occupancy.sample_rays_occ(o, d, bits, cfg,
+                                       key=jax.random.key(1))
+        assert float(s2.t.min()) >= 0.25
+        assert float(s2.t.max()) <= 0.25 + march
+        # points lie on the ray: pts = o + dirs * t
+        np.testing.assert_allclose(
+            np.asarray(s.pts),
+            np.asarray(s.dirs)[:, None, :] * np.asarray(s.t)[..., None],
+            atol=1e-5)
+
+    def test_occ_near_zero_unchanged(self):
+        kw = dict(n_samples=32, sample_l=1.0 / 8.0, sampler_mode="occ",
+                  occ_grid_res=16, occ_segments=16, occ_keep=4,
+                  occ_samples_per_segment=2)
+        bits = jnp.ones(16 ** 3, bool)
+        o = jnp.zeros((2, 3))
+        d = jnp.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        a = occupancy.sample_rays_occ(o, d, bits, ModelConfig(**kw),
+                                      key=None)
+        b = occupancy.sample_rays_occ(
+            o, d, bits, ModelConfig(**kw, sample_near=0.0), key=None)
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
