@@ -39,6 +39,17 @@ import time
 REFERENCE_RAYS_PER_S = 14200.0  # F2-NeRF paper, RTX 2080Ti (see docstring)
 SELF_CACHE = pathlib.Path(__file__).resolve().parent / "BENCH_SELF.json"
 
+def _git_sha() -> str | None:
+    try:
+        import subprocess
+        return subprocess.run(
+            ["git", "-C", str(SELF_CACHE.parent), "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 _emit_lock = threading.Lock()
 _emitted = False
 _best = {"value": None, "unit": None, "iters_done": 0}
@@ -75,6 +86,11 @@ def _watchdog(budget_s: float) -> None:
         cached = None
         try:
             cached = json.loads(SELF_CACHE.read_text())
+            # refuse a cache written at a different commit: the fallback
+            # exists to survive a wedged tunnel WITHIN a round, not to
+            # replay an old build's number as HEAD's (ADVICE r3)
+            if cached.get("git_sha") != _git_sha():
+                cached = None
         except Exception:
             pass
         if cached:
@@ -191,6 +207,11 @@ def main() -> None:
                    if args.dense else ""))
     unit = (f"rays/s/chip (fwd+bwd+adam, {mode})"
             if not args.quick else "rays/s/chip (tiny cfg)")
+    # the watchdog may fire between the two _best assignments in the
+    # measurement loop; unit is known now, so publish it before any
+    # value can appear (ADVICE r3: a None unit in the daemon thread
+    # would raise and skip the emit entirely)
+    _best["unit"] = unit
 
     # warmup / compile (float() forces real completion; NB
     # block_until_ready does not actually block under the axon platform)
@@ -234,7 +255,8 @@ def main() -> None:
         try:
             SELF_CACHE.write_text(json.dumps(
                 {"value": round(value, 1), "unit": unit,
-                 "iters": iters, "wall_date": time.strftime("%Y-%m-%d")}))
+                 "iters": iters, "wall_date": time.strftime("%Y-%m-%d"),
+                 "git_sha": _git_sha()}))
         except OSError:
             pass
     _emit(value, unit)

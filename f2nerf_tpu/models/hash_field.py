@@ -90,8 +90,7 @@ def init(key: jax.Array, cfg: ModelConfig,
 
 
 @functools.lru_cache(maxsize=32)
-def ray_budgets(cfg: ModelConfig,
-                s_override: int | None = None) -> tuple[int, ...] | None:
+def ray_budgets(cfg: ModelConfig) -> tuple[int, ...] | None:
     """Per-level run budgets for ray-coherent encode dedup, or None when
     dedup does not apply (disabled, xor mode, or perspective warp).
 
@@ -109,8 +108,11 @@ def ray_budgets(cfg: ModelConfig,
 
     The worst-case march length: the dense sampler's TRAIN jitter is
     (U[0,1)-0.5)+1 in [0.5, 1.5) accumulated by cumsum
-    (models/sampler.py), so t_max < 1.5 * n_samples * sample_l; the occ
-    sampler's t never exceeds n_samples * sample_l exactly.
+    (models/sampler.py), so the t SPAN is < 1.5 * n_samples * sample_l;
+    the occ sampler's span never exceeds n_samples * sample_l exactly.
+    A nonzero cfg.sample_near shifts the window but not its span, and
+    the budgets bound page runs along a path of the given length
+    position-independently, so they remain certified.
     """
     if (not cfg.encode_dedup or cfg.hash_mode != "paged"
             or cfg.warp_mode == "perspective"):
@@ -121,10 +123,7 @@ def ray_budgets(cfg: ModelConfig,
         occ = (cfg.occ_keep, cfg.occ_samples_per_segment,
                cfg.occ_segments)
     else:
-        # s_override: a dense two-pass prefix branch marches only the
-        # first K samples — shorter march => smaller certified budgets
-        # and more levels qualifying (models/renderer.py two-pass)
-        s = s_override if s_override is not None else cfg.n_samples
+        s = cfg.n_samples
         march = 1.5 * s * cfg.sample_l
         occ = None
     budgets = hash_paged.dedup_budgets(paged_meta(cfg), s, march,
@@ -149,16 +148,6 @@ def query_rays(params: Params, consts: Params, points: jnp.ndarray,
                cfg: ModelConfig, encode_fn=None,
                point_grads: bool = True,
                level_weights=None) -> jnp.ndarray:
-    """See :func:`_query_rays`."""
-    return _query_rays(params, consts, points, cfg, encode_fn,
-                       point_grads, level_weights)
-
-
-def _query_rays(params: Params, consts: Params, points: jnp.ndarray,
-                cfg: ModelConfig, encode_fn=None,
-                point_grads: bool = True,
-                level_weights=None,
-                s_budget: int | None = None) -> jnp.ndarray:
     """Ray-structured field query: [R, S, 3] -> [R, S, hash_feat_dim].
 
     Identical results to :func:`query` on the flattened points (the
@@ -169,8 +158,7 @@ def _query_rays(params: Params, consts: Params, points: jnp.ndarray,
     rows a coherent ray actually touches.
     """
     r, s = points.shape[0], points.shape[1]
-    budgets = (ray_budgets(cfg, s_override=s_budget)
-               if encode_fn is None else None)
+    budgets = ray_budgets(cfg) if encode_fn is None else None
     if budgets is None:
         return query(params, consts, points.reshape(r * s, 3), cfg,
                      encode_fn=encode_fn, point_grads=point_grads,

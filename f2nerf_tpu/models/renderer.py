@@ -35,7 +35,14 @@ class RenderResult(NamedTuple):
     dt: jnp.ndarray       # [R, S] sample interval widths (0 = invalid)
     # per-sample optical depth sigma*dt (0 where invalid) and the
     # occupied-but-ineligible sample flag from the occ sampler (None for
-    # the dense sampler) — inputs to the explore-sparsity loss
+    # the dense sampler) — inputs to the explore-sparsity loss.
+    # CONTRACT NOTE: the dense two-pass path returns sec_density ZEROED
+    # outside the trans_eps survivor prefix (pass 2 never queries the
+    # tail), while the single pass returns sigma*dt for every dt>0
+    # sample. Consumers must mask by `mask` before relying on tail
+    # values; the only current consumer (explore-sparsity) is occ-mode
+    # only, where two-pass never runs. Equivalence-tested as
+    # sec_density * mask (tests/test_renderer.py).
     sec_density: jnp.ndarray | None = None  # [R, S]
     explore: jnp.ndarray | None = None      # [R, S] bool
 
@@ -124,16 +131,13 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
 
 def _render_samples(params, consts, pts, ray_dirs, t, dt, explore,
                     emb_idx, bg_color, cfg, train, encode_fn,
-                    point_grads, level_weights,
-                    s_budget: int | None = None) -> RenderResult:
-    """Field query + shading + masked compositing over [R, S'] samples
-    (the whole march, or a two-pass prefix slice of it)."""
+                    point_grads, level_weights) -> RenderResult:
+    """Field query + shading + masked compositing over [R, S] samples."""
     r, s = pts.shape[0], pts.shape[1]
-    feat = hash_field._query_rays(params["field"], consts["field"],
-                                  pts, cfg, encode_fn=encode_fn,
-                                  point_grads=point_grads,
-                                  level_weights=level_weights,
-                                  s_budget=s_budget)  # [R, S', F]
+    feat = hash_field.query_rays(params["field"], consts["field"],
+                                 pts, cfg, encode_fn=encode_fn,
+                                 point_grads=point_grads,
+                                 level_weights=level_weights)  # [R, S, F]
 
     sigma = density_activation(feat[..., 0], cfg.density_shift)  # [R, S']
 

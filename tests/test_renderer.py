@@ -171,6 +171,16 @@ class TestDenseTwoPass:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(r_tp.mask),
                                       np.asarray(r_sp.mask))
+        # sec_density contract (RenderResult docstring): the two-pass
+        # zeroes the non-survivor tail, so equivalence holds under the
+        # survivor mask
+        m = np.asarray(r_sp.mask)
+        np.testing.assert_allclose(
+            np.asarray(r_tp.sec_density) * m,
+            np.asarray(r_sp.sec_density) * m, rtol=1e-5, atol=1e-6)
+        # and the two-pass tail is exactly zero outside the mask
+        assert float(np.abs(np.asarray(r_tp.sec_density) * (~m)).max()) \
+            == 0.0
 
         g_tp = jax.jit(jax.grad(lambda p: loss(cfg_tp, p)))(params)
         g_sp = jax.jit(jax.grad(lambda p: loss(cfg_sp, p)))(params)
