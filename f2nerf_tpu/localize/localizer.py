@@ -141,8 +141,22 @@ class Localizer:
     def __init__(self, params, consts, cfg: Config, intrinsic: np.ndarray,
                  center: np.ndarray, radius: float, height: int,
                  width: int, param: LocalizerParam | None = None,
-                 occ_bits=None, seed: int | None = None):
+                 occ_bits=None, seed: int | None = None, mesh=None):
+        """``mesh`` (a ``jax.sharding.Mesh``): shard every render — the
+        particle-search batch, the full-image render, and the
+        differential pose step — over the mesh's data axis (params
+        replicated once here). The reference localizer is single-GPU
+        (src/localizer.cpp); this is the BASELINE configs[4]
+        "multi-host batch render + localizer-style inverse rendering"
+        path."""
         self.param = param or LocalizerParam()
+        self.mesh = mesh
+        if mesh is not None:
+            from f2nerf_tpu.parallel import mesh as mesh_lib
+            params = mesh_lib.replicate(mesh, params)
+            consts = mesh_lib.replicate(mesh, consts)
+            if occ_bits is not None:
+                occ_bits = mesh_lib.replicate(mesh, occ_bits)
         self.params = params
         self.consts = consts
         self.cfg = cfg
@@ -159,7 +173,8 @@ class Localizer:
 
     @classmethod
     def from_checkpoint(cls, train_result_dir: str | pathlib.Path,
-                        param: LocalizerParam | None = None) -> "Localizer":
+                        param: LocalizerParam | None = None,
+                        mesh=None) -> "Localizer":
         """Reference Localizer ctor (src/localizer.cpp:13-62): reads
         inference_params.yaml + the latest checkpoint."""
         d = pathlib.Path(train_result_dir)
@@ -189,7 +204,7 @@ class Localizer:
         return cls(state["params"], state["consts"], cfg, intr,
                    np.array(ip["normalizing_center"], dtype=np.float32),
                    float(ip["normalizing_radius"]), ip["height"],
-                   ip["width"], param=param, occ_bits=occ_bits)
+                   ip["width"], param=param, occ_bits=occ_bits, mesh=mesh)
 
     # -- rendering ---------------------------------------------------------
     def render_image(self, pose) -> jnp.ndarray:
@@ -197,7 +212,7 @@ class Localizer:
             self.params, self.consts, jnp.asarray(pose), self.intrinsic,
             self.infer_height, self.infer_width, self.cfg.model,
             chunk=min(65536, self.infer_height * self.infer_width),
-            occ_bits=self.occ_bits)
+            occ_bits=self.occ_bits, mesh=self.mesh)
         return rgb
 
     # -- particle search ---------------------------------------------------
@@ -220,7 +235,7 @@ class Localizer:
         rays_d = rays_d.reshape(p * pix, 3)
         colors, _ = renderer.render_rays_chunked(
             self.params, self.consts, rays_o, rays_d, self.cfg.model,
-            chunk=65536, occ_bits=self.occ_bits)
+            chunk=65536, occ_bits=self.occ_bits, mesh=self.mesh)
         pred = jnp.clip(colors.reshape(p, pix, 3), 0.0, 1.0)
         gt = jnp.asarray(
             np.asarray(image).reshape(h * w, 3)[sel])[None]  # [1, pix, 3]
@@ -262,7 +277,7 @@ class Localizer:
         """src/localizer.cpp:142-167: Adam on the 3x4 pose through the
         renderer; reported poses keep the original rotation rows."""
         h, w = self.infer_height, self.infer_width
-        gt = jnp.asarray(np.asarray(image).reshape(h, w, 3))
+        gt = jnp.asarray(np.asarray(image).reshape(h * w, 3))
         prev_rot = np.asarray(initial_pose)[:3, :3].copy()
 
         step = self._diff_step(lr)
@@ -280,33 +295,62 @@ class Localizer:
 
     def _diff_step(self, lr: float):
         """Jitted pose-optimization step, cached per (lr) — gt is an
-        argument so new images do not retrigger compilation."""
+        argument so new images do not retrigger compilation.
+
+        With ``mesh``, the pixel grid is padded to a multiple of the
+        mesh size and sharded along the data axis; GSPMD partitions the
+        whole render and all-reduces the pose gradient over ICI (the
+        pose and optimizer state stay replicated). Padding rays are
+        masked out of the loss, so the sharded loss equals the
+        single-device mean exactly."""
         cache = getattr(self, "_diff_cache", None)
         if cache is None:
             cache = self._diff_cache = {}
-        key = (lr, self.infer_height, self.infer_width)
+        key = (lr, self.infer_height, self.infer_width,
+               self.mesh is not None)
         if key in cache:
             return cache[key]
 
         h, w = self.infer_height, self.infer_width
         from f2nerf_tpu.core.cameras import pixel_grid
-        ij = jnp.asarray(pixel_grid(h, w))
+        n = h * w
+        ij_np = np.asarray(pixel_grid(h, w))
+        pad = (-n) % self.mesh.size if self.mesh is not None else 0
+        if pad:
+            ij_np = np.concatenate(
+                [ij_np, np.zeros((pad, 2), ij_np.dtype)], axis=0)
+        ij = jnp.asarray(ij_np)
+        valid = None
+        if pad:
+            valid = jnp.concatenate(
+                [jnp.ones((n, 1), jnp.float32),
+                 jnp.zeros((pad, 1), jnp.float32)])
+        if self.mesh is not None:
+            from f2nerf_tpu.parallel import mesh as mesh_lib
+            sh = mesh_lib.data_sharding(self.mesh)
+            ij = jax.device_put(ij, sh)
+            if valid is not None:
+                valid = jax.device_put(valid, sh)
         cfg_m = self.cfg.model
         occ_bits = self.occ_bits
         params, consts, intr = self.params, self.consts, self.intrinsic
         opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
-        def loss_fn(pose, gt):
+        def loss_fn(pose, gt_flat):
             rays_o, rays_d = rays_from_pose(pose[None], intr[None], ij)
             res = renderer.render(params, consts, rays_o, rays_d, None,
                                   cfg_m, None, train=False,
                                   occ_bits=occ_bits)
-            pred = res.colors.reshape(h, w, 3)
-            return jnp.mean((pred - gt) ** 2)
+            if pad:
+                gt_flat = jnp.pad(gt_flat, ((0, pad), (0, 0)))
+                err = ((res.colors - gt_flat) ** 2) * valid
+            else:
+                err = (res.colors - gt_flat) ** 2
+            return jnp.sum(err) / (n * 3)
 
         @jax.jit
-        def step(pose, opt_state, gt):
-            grads = jax.grad(loss_fn)(pose, gt)
+        def step(pose, opt_state, gt_flat):
+            grads = jax.grad(loss_fn)(pose, gt_flat)
             updates, opt_state = opt.update(grads, opt_state, pose)
             return optax.apply_updates(pose, updates), opt_state
 

@@ -166,3 +166,58 @@ class TestLocalizer:
         cam = core.world2camera(pose_w)
         back = core.camera2world(cam)
         np.testing.assert_allclose(back, pose_w, atol=1e-5)
+
+
+class TestLocalizerMesh:
+    """Mesh-sharded localization (BASELINE configs[4]: multi-chip batch
+    render + localizer-style inverse rendering) must match the
+    single-device path; the pose/optimizer state stays replicated and
+    GSPMD all-reduces the pose gradient."""
+
+    def _sharded(self, core, devices=None):
+        import jax
+        from f2nerf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(devices)
+        loc = Localizer(core.params, core.consts, core.cfg,
+                        np.asarray(core.intrinsic),
+                        np.asarray(core.center), core.radius,
+                        core.infer_height, core.infer_width,
+                        param=core.param, occ_bits=core.occ_bits,
+                        mesh=mesh)
+        return loc
+
+    def test_evaluate_poses_matches(self, trained):
+        core, ds = trained
+        loc = self._sharded(core)
+        off = ds.poses[0].copy()
+        off[:3, 3] += np.array([0.3, 0.0, 0.2], dtype=np.float32)
+        poses = np.stack([ds.poses[0], off])
+        core._rng = np.random.default_rng(11)
+        loc._rng = np.random.default_rng(11)
+        w0 = core.evaluate_poses(poses, ds.images[0])
+        w1 = loc.evaluate_poses(poses, ds.images[0])
+        np.testing.assert_allclose(w1, w0, atol=2e-3)
+        assert w1[0] > w1[1]
+
+    def test_differential_matches_and_pads(self, trained):
+        """3-device mesh: 32*32 = 1024 pixels pad to 1026; the masked
+        loss must keep the sharded trajectory on the single-device one."""
+        import jax
+        core, ds = trained
+        loc = self._sharded(core, jax.devices()[:3])
+        true_pose = ds.poses[2]
+        noisy = true_pose.copy()
+        noisy[:3, 3] += np.array([0.04, 0.0, -0.03], dtype=np.float32)
+        r0 = core.optimize_pose_by_differential(
+            noisy, ds.images[2], iteration_num=5, lr=5e-3)
+        r1 = loc.optimize_pose_by_differential(
+            noisy, ds.images[2], iteration_num=5, lr=5e-3)
+        for a, b in zip(r0, r1):
+            np.testing.assert_allclose(b[:3, 3], a[:3, 3], atol=1e-4)
+
+    def test_render_image_matches(self, trained):
+        core, ds = trained
+        loc = self._sharded(core)
+        a = np.asarray(core.render_image(ds.poses[1]))
+        b = np.asarray(loc.render_image(ds.poses[1]))
+        np.testing.assert_allclose(b, a, atol=2e-5)
