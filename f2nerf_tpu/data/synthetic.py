@@ -376,3 +376,182 @@ def make_sphere_dataset(n_images: int = 8, h: int = 64, w: int = 64,
                        (n_images, 1)),
         images=np.stack(images),
         center=center, radius=radius)
+
+
+# ---------------------------------------------------------------------------
+# Aperiodic textured scene (round-4 eval gate)
+# ---------------------------------------------------------------------------
+
+_NOISE_RNG = np.random.default_rng(171)
+_NOISE_GRIDS = [_NOISE_RNG.random((48, 48)).astype(np.float32)
+                for _ in range(4)]
+
+
+def _value_noise(u: np.ndarray, v: np.ndarray, grid_id: int,
+                 octaves: int = 3) -> np.ndarray:
+    """Aperiodic multi-octave value noise over [0,1]^2: each octave
+    bilinearly samples a FIXED random grid at an irrational frequency
+    ratio, so no translate of the pattern repeats within the surface
+    extent. Inputs outside [0,1] are clamped."""
+    total = np.zeros_like(u)
+    amp, norm = 1.0, 0.0
+    for o in range(octaves):
+        g = _NOISE_GRIDS[(grid_id + o) % len(_NOISE_GRIDS)]
+        n = g.shape[0] - 1
+        f = (1.0 + o * 2.718281828)      # irrational octave ratios
+        x = np.clip(u * f % 1.0, 0.0, 1.0) * n
+        y = np.clip(v * f % 1.0, 0.0, 1.0) * n
+        x0 = np.clip(x.astype(np.int32), 0, n - 1)
+        y0 = np.clip(y.astype(np.int32), 0, n - 1)
+        fx = x - x0
+        fy = y - y0
+        fx = fx * fx * (3 - 2 * fx)      # smoothstep
+        fy = fy * fy * (3 - 2 * fy)
+        v00 = g[x0, y0]
+        v10 = g[x0 + 1, y0]
+        v01 = g[x0, y0 + 1]
+        v11 = g[x0 + 1, y0 + 1]
+        total += amp * ((v00 * (1 - fx) + v10 * fx) * (1 - fy)
+                        + (v01 * (1 - fx) + v11 * fx) * fy)
+        norm += amp
+        amp *= 0.55
+    return total / norm
+
+
+def _render_textured(pose: np.ndarray, intrinsic: np.ndarray, h: int,
+                     w: int) -> np.ndarray:
+    """Aperiodic variant of :func:`_render_scene`: same geometry family
+    (ground plane + sphere + box + sky sphere) but every surface carries
+    value-noise + linear-ramp texture with NO repeating pattern — the
+    round-3 holdout autopsy implicated the checker floor's period
+    ambiguity (wrong depths stay photo-consistent on a periodic
+    texture); this scene is the aperiodic eval gate (VERDICT r3
+    missing #2)."""
+    ii, jj = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    i = ii + 0.5
+    j = jj + 0.5
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    u = (j - cx) / fx
+    v = -((i - cy) / fy)
+    d = np.stack([u, v, -np.ones_like(u)], axis=-1)
+    d = d @ pose[:3, :3].T
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+    light = np.array([0.4, 0.8, 0.45])
+    light /= np.linalg.norm(light)
+
+    t_best = np.full((h, w), np.inf)
+
+    # sky sphere (radius 3.6): aperiodic noise + vertical ramp
+    b0 = np.sum(d * o, axis=-1)
+    c0 = np.sum(o * o) - 3.6 ** 2
+    tsky = -b0 + np.sqrt(np.maximum(b0 * b0 - c0, 0))
+    psky = o + d * tsky[..., None]
+    su = (psky[..., 0] / 7.2) + 0.5
+    sv = (psky[..., 2] / 7.2) + 0.5
+    nz = _value_noise(su, sv, 0)
+    sky = 0.5 + 0.25 * (nz - 0.5) + 0.15 * np.clip(psky[..., 1] / 3.6,
+                                                   -1, 1)
+    color = np.stack([sky * 0.9, sky * 0.97, np.minimum(sky * 1.08, 1.0)],
+                     axis=-1).astype(np.float32)
+    color = np.clip(color, 0.0, 1.0)
+
+    # ground plane y = -0.8: value noise + x/z color ramps (the ramps
+    # make every floor patch globally unique — no period ambiguity)
+    denom = d[..., 1]
+    tp = np.where(np.abs(denom) > 1e-6, (-0.8 - o[1]) / denom, np.inf)
+    hitp = (tp > 0) & (tp < t_best)
+    px = o[0] + d[..., 0] * tp
+    pz = o[2] + d[..., 2] * tp
+    gu = np.clip(px / 5.0 + 0.5, 0.0, 1.0)
+    gv = np.clip(pz / 5.0 + 0.5, 0.0, 1.0)
+    n1 = _value_noise(gu, gv, 1)
+    n2 = _value_noise(gu, gv, 2)
+    pcol = np.stack([0.25 + 0.55 * n1 + 0.15 * gu,
+                     0.25 + 0.45 * n2 + 0.15 * gv,
+                     0.30 + 0.40 * (1.0 - n1)], axis=-1)
+    pcol = np.clip(pcol, 0.0, 1.0).astype(np.float32)
+    in_extent = (np.abs(px) < 2.5) & (np.abs(pz) < 2.5)
+    hitp &= in_extent
+    t_best = np.where(hitp, tp, t_best)
+    color = np.where(hitp[..., None], pcol, color)
+
+    # sphere at (0.5, -0.3, 0), r=0.5: noise-marbled + shaded
+    sc = np.array([0.5, -0.3, 0.0])
+    oc = o - sc
+    b = np.sum(d * oc, axis=-1)
+    c = np.sum(oc * oc) - 0.25
+    disc = b * b - c
+    ts = -b - np.sqrt(np.maximum(disc, 0))
+    hits = (disc > 0) & (ts > 0) & (ts < t_best)
+    n = (o + d * ts[..., None] - sc) / 0.5
+    shade = 0.3 + 0.7 * np.clip(n @ light, 0, 1)
+    mu = np.clip(np.arctan2(n[..., 2], n[..., 0]) / (2 * np.pi) + 0.5,
+                 0, 1)
+    mv = np.clip(n[..., 1] * 0.5 + 0.5, 0, 1)
+    marble = _value_noise(mu, mv, 3)
+    scol = np.stack([0.55 + 0.35 * marble, 0.25 + 0.25 * (1 - marble),
+                     0.2 + 0.2 * marble], axis=-1) * shade[..., None]
+    scol = np.clip(scol, 0, 1).astype(np.float32)
+    t_best = np.where(hits, ts, t_best)
+    color = np.where(hits[..., None], scol, color)
+
+    # box [-0.9,-0.8,-0.5]..[-0.3,-0.1,0.1]: per-face ramped texture
+    lo = np.array([-0.9, -0.8, -0.5])
+    hi = np.array([-0.3, -0.1, 0.1])
+    safe_d = np.where(np.abs(d) > 1e-9, d, 1e-9)
+    t0 = (lo - o) / safe_d
+    t1 = (hi - o) / safe_d
+    tmin = np.max(np.minimum(t0, t1), axis=-1)
+    tmax = np.min(np.maximum(t0, t1), axis=-1)
+    hitb = (tmax > tmin) & (tmin > 0) & (tmin < t_best)
+    pb = o + d * tmin[..., None]
+    ctr = (lo + hi) / 2
+    rel = (pb - ctr) / ((hi - lo) / 2)
+    axis = np.argmax(np.abs(rel), axis=-1)
+    nb = np.eye(3)[axis] * np.sign(
+        np.take_along_axis(rel, axis[..., None], axis=-1))
+    shade_b = 0.3 + 0.7 * np.clip(nb @ light, 0, 1)
+    bu = np.clip((pb[..., 0] - lo[0]) / (hi[0] - lo[0]), 0, 1)
+    bv = np.clip((pb[..., 1] - lo[1]) / (hi[1] - lo[1]), 0, 1)
+    bn = _value_noise(bu, bv, 2)
+    bcol = np.stack([0.2 + 0.3 * bn, 0.35 + 0.3 * bu,
+                     0.55 + 0.35 * (1 - bn)], axis=-1) \
+        * shade_b[..., None]
+    color = np.where(hitb[..., None],
+                     np.clip(bcol, 0, 1).astype(np.float32), color)
+    return color
+
+
+def make_textured_dataset(n_images: int = 32, h: int = 128, w: int = 128,
+                          ring_radius: float = 3.0,
+                          seed: int = 0) -> Dataset:
+    """Aperiodic-texture ring scene: same cameras as
+    :func:`make_checker_dataset`, textured surfaces with no repeating
+    pattern (the round-4 generalization gate)."""
+    rng = np.random.default_rng(seed)
+    focal = 0.9 * w
+    intrinsic = np.array([[focal, 0, w / 2.0],
+                          [0, focal, h / 2.0],
+                          [0, 0, 1.0]], dtype=np.float32)
+    poses, images = [], []
+    for k in range(n_images):
+        ang = 2.0 * np.pi * k / n_images
+        elev = 0.5 + 0.12 * rng.standard_normal()
+        pos = ring_radius * np.array([
+            np.cos(ang) * np.cos(elev), np.sin(elev),
+            np.sin(ang) * np.cos(elev)])
+        pose = look_at_pose(pos, np.array([0.0, -0.3, 0.0]))
+        poses.append(pose)
+        images.append(_render_textured(pose, intrinsic, h, w))
+    poses = np.stack(poses).astype(np.float32)
+    from f2nerf_tpu.core.cameras import normalize_poses
+    poses, center, radius = normalize_poses(poses)
+    return Dataset(
+        poses=poses, intrinsics=np.stack([intrinsic] * n_images),
+        dist_params=np.zeros((n_images, 4), dtype=np.float32),
+        bounds=np.tile(np.array([0.1, 10.0], dtype=np.float32),
+                       (n_images, 1)),
+        images=np.stack(images), center=center, radius=radius)

@@ -43,7 +43,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("result_dir", type=pathlib.Path)
-    ap.add_argument("--scene", choices=("checker", "sphere", "corridor"),
+    ap.add_argument("--scene", choices=("checker", "sphere", "corridor",
+                                        "textured"),
                     default="checker")
     ap.add_argument("--n_images", type=int, default=16)
     ap.add_argument("--hw", type=int, default=128)
@@ -111,14 +112,16 @@ def main() -> int:
     from f2nerf_tpu.core.config import Config
     from f2nerf_tpu.data.synthetic import (make_checker_dataset,
                                            make_corridor_dataset,
-                                           make_sphere_dataset)
+                                           make_sphere_dataset,
+                                           make_textured_dataset)
     from f2nerf_tpu.models import renderer
     from f2nerf_tpu.train.loop import Trainer
     from f2nerf_tpu.utils.metrics import psnr
 
     make = {"checker": make_checker_dataset,
             "sphere": make_sphere_dataset,
-            "corridor": make_corridor_dataset}[args.scene]
+            "corridor": make_corridor_dataset,
+            "textured": make_textured_dataset}[args.scene]
     ds = make(n_images=args.n_images, h=args.hw, w=args.hw)
     held, train_ds = [], ds
     if args.holdout > 0:
