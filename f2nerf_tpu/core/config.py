@@ -277,6 +277,20 @@ class TrainConfig:
     # build. Powers of two are exact in floating point, so this is a
     # pure numerics-ordering knob, not an approximation.
     loss_scale: float = 1.0
+    # occlusion regularizer (FreeNeRF-style): penalize the mean optical
+    # depth sigma*dt of samples with t < occ_reg_t along every train
+    # ray. Counter-pressure against near-camera "billboard"
+    # memorization: on sparse-view rings SGD's cheapest solution paints
+    # each train image onto private density right at the march start
+    # (measured round 4: median TRAIN-view depth 0.33 with
+    # sample_near=0.3 — the billboard simply re-formed at the new near
+    # plane), and once transmittance collapses behind it the true
+    # surface never receives gradients. A direct density penalty on the
+    # near segment keeps that region transparent so gradients reach the
+    # scene. 0 disables (reference parity — the reference has no such
+    # term).
+    occ_reg_weight: float = 0.0
+    occ_reg_t: float = 0.0
     # coarse-to-fine level annealing: linearly unmask hash levels
     # coarse-first; level l's weight ramps over steps
     # [N*(l-1)/L, N*l/L] (level 0 fully on from step 0, all levels on

@@ -106,6 +106,17 @@ def make_loss_fn(cfg: Config, encode_fn=None):
             fog = jnp.log1p(jnp.clip(res.sec_density, 0.0, 1e4)) * m
             exp_loss = jnp.sum(fog) / jnp.maximum(jnp.sum(m), 1.0)
             loss = loss + cfg.train.explore_sparsity_weight * exp_loss
+        if cfg.train.occ_reg_weight > 0.0 and cfg.train.occ_reg_t > 0.0:
+            # occlusion regularizer (TrainConfig.occ_reg_weight): mean
+            # clipped optical depth of near-march samples — suppresses
+            # the per-camera billboard minimum so transmittance (and
+            # with it, gradient flow) reaches the real surface
+            near_m = ((res.t < cfg.train.occ_reg_t)
+                      & (res.dt > 0.0)).astype(jnp.float32)
+            occ_reg = (jnp.sum(jnp.clip(res.sec_density, 0.0, 1e4)
+                               * near_m)
+                       / jnp.maximum(jnp.sum(near_m), 1.0))
+            loss = loss + cfg.train.occ_reg_weight * occ_reg
         if cfg.train.global_sparsity_weight > 0.0:
             # volume-wide density prior at random contracted-domain
             # points: reaches the hash-collision garbage in space no

@@ -88,6 +88,11 @@ def main() -> int:
     ap.add_argument("--feat_pool_weight_decay", type=float, default=None)
     ap.add_argument("--explore_sparsity_weight", type=float, default=None)
     ap.add_argument("--global_sparsity_weight", type=float, default=None)
+    ap.add_argument("--occ_reg_weight", type=float, default=None,
+                    help="occlusion regularizer weight "
+                         "(TrainConfig.occ_reg_weight)")
+    ap.add_argument("--occ_reg_t", type=float, default=None,
+                    help="penalize density at t < this march distance")
     ap.add_argument("--level_anneal_end", type=int, default=None,
                     help="coarse-to-fine: unmask hash levels over the "
                          "first N steps (TrainConfig.level_anneal_end)")
@@ -142,7 +147,8 @@ def main() -> int:
         tkw["learning_rate"] = args.lr
     for name in ("var_loss_weight", "var_loss_mode", "grad_clip_norm",
                  "feat_pool_weight_decay", "explore_sparsity_weight",
-                 "global_sparsity_weight", "level_anneal_end"):
+                 "global_sparsity_weight", "level_anneal_end",
+                 "occ_reg_weight", "occ_reg_t"):
         if getattr(args, name) is not None:
             tkw[name] = getattr(args, name)
     mkw = {}

@@ -426,3 +426,57 @@ def test_global_sparsity_prior_drains_unsupervised_density(
     base = run(0.0)
     pruned = run(1.0)
     assert pruned < base * 0.7, (pruned, base)
+
+
+class TestOcclusionReg:
+    """TrainConfig.occ_reg_weight: near-march density penalty (the
+    billboard counter-pressure, config.py rationale)."""
+
+    def _loss(self, cfg, sphere_ds, seed=0):
+        import jax
+        import jax.numpy as jnp
+        from f2nerf_tpu.models import renderer
+        from f2nerf_tpu.train.step import make_loss_fn
+        ds = sphere_ds
+        rng = np.random.default_rng(seed)
+        b = 128
+        cam = rng.integers(0, len(ds.images), b)
+        ij = rng.integers(0, ds.height, (b, 2))
+        gt = ds.images[cam, ij[:, 0], ij[:, 1]]
+        params, consts = renderer.init(jax.random.key(0), cfg.model,
+                                       len(ds.images))
+        # plant strong density everywhere so near samples carry real
+        # optical depth for the penalty to see
+        params["field"]["mlp"]["b"] = \
+            params["field"]["mlp"]["b"].at[0].set(4.0)
+        lf = make_loss_fn(cfg)
+        loss, aux = lf(params, consts, jnp.asarray(ds.poses),
+                       jnp.asarray(ds.intrinsics), jnp.asarray(cam),
+                       jnp.asarray(ij), jnp.asarray(gt),
+                       jax.random.key(1), jnp.asarray(0), None)
+        grad = jax.grad(lambda p: lf(
+            p, consts, jnp.asarray(ds.poses), jnp.asarray(ds.intrinsics),
+            jnp.asarray(cam), jnp.asarray(ij), jnp.asarray(gt),
+            jax.random.key(1), jnp.asarray(0), None)[0])(params)
+        return float(loss), grad
+
+    def test_zero_weight_matches_baseline(self, tiny_cfg, sphere_ds):
+        base, _ = self._loss(tiny_cfg, sphere_ds)
+        cfg = dataclasses.replace(tiny_cfg, train=dataclasses.replace(
+            tiny_cfg.train, occ_reg_weight=0.0, occ_reg_t=0.5))
+        off, _ = self._loss(cfg, sphere_ds)
+        assert base == off
+
+    def test_penalty_raises_loss_and_pushes_density_down(self, tiny_cfg,
+                                                         sphere_ds):
+        import jax
+        base, g0 = self._loss(tiny_cfg, sphere_ds)
+        cfg = dataclasses.replace(tiny_cfg, train=dataclasses.replace(
+            tiny_cfg.train, occ_reg_weight=1.0, occ_reg_t=1.0))
+        on, g1 = self._loss(cfg, sphere_ds)
+        assert on > base
+        # the penalty adds positive gradient pressure on the density
+        # bias (channel 0 of the head): d loss / d b[0] grows
+        d0 = float(np.asarray(g0["field"]["mlp"]["b"])[0])
+        d1 = float(np.asarray(g1["field"]["mlp"]["b"])[0])
+        assert d1 > d0
