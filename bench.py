@@ -115,6 +115,17 @@ def main() -> None:
                     help="reference-parity operating point: dense "
                          "sampler, 512 rays x 1024 samples "
                          "(train_manager.cpp:69-70, points_sampler.hpp)")
+    ap.add_argument("--warp", choices=("contract", "perspective"),
+                    default=None,
+                    help="override ModelConfig.warp_mode — perspective "
+                         "certifiably disqualifies run dedup "
+                         "(models/hash_field.py), so its flagship rate "
+                         "is a separate headline")
+    ap.add_argument("--no-quality-machinery", action="store_true",
+                    help="disable the round-2/3 quality additions "
+                         "(explore slots + explore-sparsity term) to "
+                         "measure the round-1 pure-throughput operating "
+                         "point — the documented quality/perf knob")
     ap.add_argument("--budget_s", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", 480)))
     ap.add_argument("--no-cache-write", action="store_true")
@@ -137,6 +148,16 @@ def main() -> None:
     import dataclasses
 
     cfg = Config.tiny() if args.quick else Config()
+    if args.warp is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           warp_mode=args.warp))
+    if args.no_quality_machinery:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, occ_explore_slots=0),
+            train=dataclasses.replace(cfg.train,
+                                      explore_sparsity_weight=0.0))
     if args.dense:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
@@ -157,6 +178,16 @@ def main() -> None:
 
     key = jax.random.key(0)
     params, consts = renderer.init(key, cfg.model, n_images)
+    if cfg.model.warp_mode == "perspective":
+        # warp tables come from the training cameras (Trainer does the
+        # same, train/loop.py); a ring of poses stands in here
+        from f2nerf_tpu.data.synthetic import make_sphere_dataset
+        from f2nerf_tpu.models.warp import build_warp
+        tables = build_warp(
+            make_sphere_dataset(n_images=n_images, h=8, w=8).poses,
+            cfg.model)
+        consts["field"]["warp_anchors"] = tables.anchors
+        consts["field"]["warp_rows"] = tables.rows
     optimizer = make_optimizer(cfg.train)
     opt_state = optimizer.init(params)
     occ_grid = occupancy.init_grid(cfg.model)
@@ -201,6 +232,10 @@ def main() -> None:
     if cfg.model.sampler_mode == "occ":
         spr = cfg.model.occ_keep * cfg.model.occ_samples_per_segment
         mode = f"occ sampler, {spr} samples/ray"
+        if args.warp == "perspective":
+            mode += ", perspective warp (no run dedup)"
+        if args.no_quality_machinery:
+            mode += ", quality machinery off (r1 parity point)"
     else:
         mode = (f"dense, {cfg.model.n_samples} samples/ray"
                 + (", reference-parity point 512x1024"
