@@ -7,6 +7,8 @@ import pathlib
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess/multi-process drivers (pytest.ini)
+
 from f2nerf_tpu.apps import main as cli
 from f2nerf_tpu.core.config import Config, ModelConfig, TrainConfig
 from f2nerf_tpu.data.dataset import save_dataset

@@ -112,6 +112,7 @@ def test_validate_render_matches_reference_oracle(rng, seed):
                                rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_paged_vs_xor_same_architecture(rng):
     """Paged and XOR modes are different hash layouts of the same model
     family: with matched init scales both must produce finite, sane

@@ -1,6 +1,7 @@
 """Hash-grid encode tests: XOR (reference semantics) and paged (TPU
 fast path) against numpy oracles; gradient and determinism checks."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -424,6 +425,7 @@ class TestDedupEncode:
         assert all(b <= cfg.dedup_max_frac * s for b in budgets)
 
 
+@pytest.mark.slow
 def test_compute_runs_binary_search_equivalence():
     """The binary-search run-page lookup must match the (correct-by-
     construction) dense where+max formulation on every used run slot,

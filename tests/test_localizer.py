@@ -97,6 +97,7 @@ class TestQuat:
         np.testing.assert_allclose(avg[:3, :3], np.eye(3), atol=1e-7)
 
 
+@pytest.mark.slow
 class TestLocalizer:
     def test_checkpoint_roundtrip_renders(self, trained):
         core, ds = trained
@@ -168,6 +169,7 @@ class TestLocalizer:
         np.testing.assert_allclose(back, pose_w, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestLocalizerMesh:
     """Mesh-sharded localization (BASELINE configs[4]: multi-chip batch
     render + localizer-style inverse rendering) must match the

@@ -26,6 +26,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess/multi-process drivers (pytest.ini)
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 

@@ -75,6 +75,7 @@ def test_sharded_run_twice_bitwise_identical(tiny_cfg):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_grad_blocks_bitwise_across_shard_counts(tiny_cfg):
     """TrainConfig.grad_blocks=V makes the parameter update BITWISE
     identical across mesh sizes k | V (BASELINE.md: hash-grid
@@ -91,6 +92,7 @@ def test_grad_blocks_bitwise_across_shard_counts(tiny_cfg):
                 f"params differ at mesh size {k}"
 
 
+@pytest.mark.slow
 def test_grad_blocks_occ_mode_runs(occ_cfg):
     """grad_blocks composes with the occupancy sampler path."""
     cfg = dataclasses.replace(
@@ -104,6 +106,7 @@ def test_occ_mode_sharded(occ_cfg):
     assert np.isfinite(float(m.loss))
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

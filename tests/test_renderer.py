@@ -1,5 +1,6 @@
 """Renderer integration tests (reference src/renderer.cpp semantics)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -128,6 +129,7 @@ def test_infinite_density_does_not_nan(tiny_cfg, rng):
     assert bool(jnp.isfinite(res.depths).all())
 
 
+@pytest.mark.slow
 class TestDenseTwoPass:
     """The dense TRAIN two-pass (reference renderer.cpp:58-88 early
     stop, static-shape rebuild) must reproduce the masked single pass

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess/multi-process drivers (pytest.ini)
+
 torch = pytest.importorskip("torch")
 
 from f2nerf_tpu.core.config import ModelConfig

@@ -153,6 +153,7 @@ class TestTrainer:
         r2 = tr.run(3)
         assert r1["loss"] == r2["loss"]
 
+    @pytest.mark.slow
     def test_level_annealing(self, tiny_cfg, sphere_ds):
         """Coarse-to-fine level annealing (level_anneal_end):
         weights=ones is exactly the unannealed field; the per-level
@@ -221,6 +222,7 @@ class TestTrainer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-8)
 
+    @pytest.mark.slow
     def test_bf16_grad_parity(self, tiny_cfg, sphere_ds):
         """bf16-feature gradients track the fp32 parity path (measured
         max_rel 7e-3 on TPU, BENCH_NOTES.md; CPU accumulates f32 so the
@@ -372,6 +374,7 @@ class TestExtras:
         assert list((tmp_path / "prof").rglob("*"))  # trace files exist
 
 
+@pytest.mark.slow
 def test_resume_upgrades_legacy_occ_grid(occ_cfg, sphere_ds, tmp_path):
     """Checkpoints written before the two-channel occupancy grid carry a
     [G,G,G] max-EMA only; resume must upgrade them (zero mean channel)
@@ -391,6 +394,7 @@ def test_resume_upgrades_legacy_occ_grid(occ_cfg, sphere_ds, tmp_path):
     assert tr2.step == 9
 
 
+@pytest.mark.slow
 def test_global_sparsity_prior_drains_unsupervised_density(
         tiny_cfg, sphere_ds):
     """TrainConfig.global_sparsity_weight: a volume-wide log1p(sigma)
@@ -428,6 +432,7 @@ def test_global_sparsity_prior_drains_unsupervised_density(
     assert pruned < base * 0.7, (pruned, base)
 
 
+@pytest.mark.slow
 class TestOcclusionReg:
     """TrainConfig.occ_reg_weight: near-march density penalty (the
     billboard counter-pressure, config.py rationale)."""
