@@ -85,7 +85,11 @@ class ModelConfig:
     # billboard (perfect train PSNR, garbage from every novel pose; the
     # round-3 holdout autopsy, BENCH_NOTES.md). Units are normalized
     # scene units (cameras lie on the unit ball after
-    # normalize_poses). 0 = reference parity.
+    # normalize_poses). 0 = reference parity. -1 = AUTO: derive from the
+    # dataset's own near bounds (cams_meta col 25, the SfM
+    # depth-percentile near that colmap2poses writes), normalized by the
+    # scene radius — the Trainer resolves it at construction
+    # (train/loop.py) so the jitted step still sees a static float.
     sample_near: float = 0.0
     # dense TRAIN: mirror the reference's two-pass early-stop
     # (renderer.cpp:58-88) with static shapes — a gradient-free full

@@ -41,6 +41,19 @@ class Trainer:
                  encode_fn=None, use_mesh: bool = True,
                  profile_dir: str | pathlib.Path | None = None,
                  profile_steps: tuple[int, int] = (10, 15)):
+        if cfg.model.sample_near < 0.0:
+            # AUTO near bound (ModelConfig.sample_near = -1): the
+            # dataset's smallest per-camera near bound in normalized
+            # units. Real pipelines get these from SfM depth
+            # percentiles (scripts/colmap2poses.py), making the march
+            # start at the closest actual scene content — the
+            # billboard-proof policy from the round-4 A/B
+            # (BENCH_NOTES "Round-4 generalization A/B matrix").
+            import dataclasses as _dc
+            near = float(np.min(dataset.bounds[:, 0])
+                         / max(dataset.radius, 1e-9))
+            cfg = _dc.replace(cfg, model=_dc.replace(
+                cfg.model, sample_near=near))
         self.cfg = cfg
         self.dataset = dataset
         self.result_dir = (pathlib.Path(result_dir)

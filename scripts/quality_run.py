@@ -236,7 +236,7 @@ def main() -> int:
         rgb, _ = renderer.render_image(
             tr.params, tr.consts, jnp.asarray(ds.poses[i]),
             jnp.asarray(ds.intrinsics[i]),
-            ds.height, ds.width, cfg.model, chunk=16384,
+            ds.height, ds.width, tr.cfg.model, chunk=16384,
             occ_bits=tr.occ_bits())
         dt = time.monotonic() - ts
         rgb = np.asarray(rgb)

@@ -485,3 +485,20 @@ class TestOcclusionReg:
         d0 = float(np.asarray(g0["field"]["mlp"]["b"])[0])
         d1 = float(np.asarray(g1["field"]["mlp"]["b"])[0])
         assert d1 > d0
+
+
+def test_auto_sample_near_resolves_from_bounds(tiny_cfg, sphere_ds,
+                                               tmp_path):
+    """ModelConfig.sample_near = -1: the Trainer derives the march start
+    from the dataset's near bounds / normalization radius and saves the
+    RESOLVED value into train_config.yaml (config.py rationale)."""
+    from f2nerf_tpu.core.config import Config
+    from f2nerf_tpu.train.loop import Trainer
+    cfg = dataclasses.replace(tiny_cfg, model=dataclasses.replace(
+        tiny_cfg.model, sample_near=-1.0))
+    tr = Trainer(cfg, sphere_ds, result_dir=tmp_path)
+    expect = float(sphere_ds.bounds[:, 0].min() / sphere_ds.radius)
+    assert abs(tr.cfg.model.sample_near - expect) < 1e-6
+    assert tr.cfg.model.sample_near > 0.0
+    saved = Config.load(tmp_path / "train_config.yaml")
+    assert abs(saved.model.sample_near - expect) < 1e-6
