@@ -84,6 +84,10 @@ def main() -> int:
                     help="override; default keeps the reference value")
     ap.add_argument("--var_loss_mode", default=None,
                     choices=("weight_var", "distortion"))
+    ap.add_argument("--var_loss_start", type=int, default=None,
+                    help="ramp start step (0 with --var_loss_end 1 = "
+                         "constant weight from step 0)")
+    ap.add_argument("--var_loss_end", type=int, default=None)
     ap.add_argument("--grad_clip_norm", type=float, default=None)
     ap.add_argument("--feat_pool_weight_decay", type=float, default=None)
     ap.add_argument("--explore_sparsity_weight", type=float, default=None)
@@ -145,7 +149,8 @@ def main() -> int:
         tkw["pts_batch_size"] = args.rays * 512
     if args.lr is not None:
         tkw["learning_rate"] = args.lr
-    for name in ("var_loss_weight", "var_loss_mode", "grad_clip_norm",
+    for name in ("var_loss_weight", "var_loss_mode", "var_loss_start",
+                 "var_loss_end", "grad_clip_norm",
                  "feat_pool_weight_decay", "explore_sparsity_weight",
                  "global_sparsity_weight", "level_anneal_end",
                  "occ_reg_weight", "occ_reg_t"):
