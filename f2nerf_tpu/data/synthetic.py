@@ -34,7 +34,8 @@ def look_at_pose(position: np.ndarray, target: np.ndarray,
 
 def _render_sphere(pose: np.ndarray, intrinsic: np.ndarray, h: int, w: int,
                    sphere_center: np.ndarray, sphere_radius: float,
-                   color: np.ndarray, bg: float = 0.5) -> np.ndarray:
+                   color: np.ndarray, bg: float = 0.5,
+                   return_depth: bool = False):
     """Analytic ray-traced shaded sphere, using the same ray convention
     as f2nerf_tpu.core.cameras.rays_from_pose."""
     ii, jj = np.meshgrid(np.arange(h, dtype=np.float32),
@@ -66,11 +67,14 @@ def _render_sphere(pose: np.ndarray, intrinsic: np.ndarray, h: int, w: int,
 
     img = np.full((h, w, 3), bg, dtype=np.float32)
     img[hit] = (color[None, :] * shade[hit, None]).astype(np.float32)
+    if return_depth:
+        return img, np.where(hit, tt, np.inf)
     return img
 
 
 def _render_scene(pose: np.ndarray, intrinsic: np.ndarray, h: int,
-                  w: int, bg: float = 0.55) -> np.ndarray:
+                  w: int, bg: float = 0.55,
+                  return_depth: bool = False):
     """Harder multi-object scene: checkerboard ground plane + shaded
     sphere + axis-aligned box, nearest-hit ray traced."""
     ii, jj = np.meshgrid(np.arange(h, dtype=np.float32),
@@ -153,11 +157,15 @@ def _render_scene(pose: np.ndarray, intrinsic: np.ndarray, h: int,
     bcol = (np.array([0.25, 0.45, 0.8]) * shade_b[..., None]).astype(
         np.float32)
     color = np.where(hitb[..., None], bcol, color)
+    if return_depth:
+        t_best = np.where(hitb, tmin, t_best)
+        return color, np.where(np.isfinite(t_best), t_best, tsky)
     return color
 
 
 def _render_corridor(pose: np.ndarray, intrinsic: np.ndarray, h: int,
-                     w: int, length: float) -> np.ndarray:
+                     w: int, length: float,
+                     return_depth: bool = False):
     """Street/corridor scene for free-trajectory (F2-NeRF-style) tests:
     textured side walls, checker floor, obstacles along the way, far
     wall. Cameras travel *through* it, so scene content spans many
@@ -270,6 +278,8 @@ def _render_corridor(pose: np.ndarray, intrinsic: np.ndarray, h: int,
             color = np.where(ok[..., None], col, color)
         k += 1
         z += 2.0
+    if return_depth:
+        return np.clip(color, 0.0, 1.0), t_best
     return np.clip(color, 0.0, 1.0)
 
 
@@ -289,7 +299,7 @@ def make_corridor_dataset(n_images: int = 24, h: int = 128, w: int = 128,
         return np.array([0.6 * np.sin(2.4 * np.pi * z / length),
                          0.25 + 0.1 * np.sin(1.3 * z), z])
 
-    poses, images = [], []
+    poses, images, depths = [], [], []
     for kimg in range(n_images):
         z = 0.5 + (length - 2.0) * kimg / max(n_images - 1, 1)
         pos = path(z) + rng.normal(0, 0.02, 3)
@@ -297,15 +307,17 @@ def make_corridor_dataset(n_images: int = 24, h: int = 128, w: int = 128,
         target[2] = z + 2.5
         pose = look_at_pose(pos, target)
         poses.append(pose)
-        images.append(_render_corridor(pose, intrinsic, h, w, length))
+        img, dep = _render_corridor(pose, intrinsic, h, w, length,
+                                    return_depth=True)
+        images.append(img)
+        depths.append(dep)
     poses = np.stack(poses).astype(np.float32)
     from f2nerf_tpu.core.cameras import normalize_poses
     poses, center, radius = normalize_poses(poses)
     return Dataset(
         poses=poses, intrinsics=np.stack([intrinsic] * n_images),
         dist_params=np.zeros((n_images, 4), dtype=np.float32),
-        bounds=np.tile(np.array([0.05, 30.0], dtype=np.float32),
-                       (n_images, 1)),
+        bounds=_depth_bounds(depths),
         images=np.stack(images), center=center, radius=radius)
 
 
@@ -320,7 +332,7 @@ def make_checker_dataset(n_images: int = 12, h: int = 96, w: int = 96,
     intrinsic = np.array([[focal, 0, w / 2.0],
                           [0, focal, h / 2.0],
                           [0, 0, 1.0]], dtype=np.float32)
-    poses, images = [], []
+    poses, images, depths = [], [], []
     for k in range(n_images):
         ang = 2.0 * np.pi * k / n_images
         elev = 0.5 + 0.12 * rng.standard_normal()
@@ -329,15 +341,17 @@ def make_checker_dataset(n_images: int = 12, h: int = 96, w: int = 96,
             np.sin(ang) * np.cos(elev)])
         pose = look_at_pose(pos, np.array([0.0, -0.3, 0.0]))
         poses.append(pose)
-        images.append(_render_scene(pose, intrinsic, h, w))
+        img, dep = _render_scene(pose, intrinsic, h, w,
+                                 return_depth=True)
+        images.append(img)
+        depths.append(dep)
     poses = np.stack(poses).astype(np.float32)
     from f2nerf_tpu.core.cameras import normalize_poses
     poses, center, radius = normalize_poses(poses)
     return Dataset(
         poses=poses, intrinsics=np.stack([intrinsic] * n_images),
         dist_params=np.zeros((n_images, 4), dtype=np.float32),
-        bounds=np.tile(np.array([0.1, 10.0], dtype=np.float32),
-                       (n_images, 1)),
+        bounds=_depth_bounds(depths),
         images=np.stack(images), center=center, radius=radius)
 
 
@@ -352,7 +366,7 @@ def make_sphere_dataset(n_images: int = 8, h: int = 64, w: int = 64,
                           [0, 0, 1.0]], dtype=np.float32)
     color = np.array([0.8, 0.35, 0.25], dtype=np.float32)
 
-    poses, images = [], []
+    poses, images, depths = [], [], []
     for k in range(n_images):
         ang = 2.0 * np.pi * k / n_images
         elev = 0.35 + 0.1 * rng.standard_normal()
@@ -361,8 +375,11 @@ def make_sphere_dataset(n_images: int = 8, h: int = 64, w: int = 64,
             np.sin(ang) * np.cos(elev)])
         pose = look_at_pose(pos, np.zeros(3))
         poses.append(pose)
-        images.append(_render_sphere(pose, intrinsic, h, w,
-                                     np.zeros(3), 1.0, color))
+        img, dep = _render_sphere(pose, intrinsic, h, w,
+                                  np.zeros(3), 1.0, color,
+                                  return_depth=True)
+        images.append(img)
+        depths.append(dep)
 
     poses = np.stack(poses).astype(np.float32)
     from f2nerf_tpu.core.cameras import normalize_poses
@@ -372,10 +389,26 @@ def make_sphere_dataset(n_images: int = 8, h: int = 64, w: int = 64,
         poses=poses,
         intrinsics=np.stack([intrinsic] * n_images),
         dist_params=np.zeros((n_images, 4), dtype=np.float32),
-        bounds=np.tile(np.array([0.1, 10.0], dtype=np.float32),
-                       (n_images, 1)),
+        bounds=_depth_bounds(depths),
         images=np.stack(images),
         center=center, radius=radius)
+
+
+def _depth_bounds(depths: list[np.ndarray]) -> np.ndarray:
+    """Per-camera [near, far] from traced hit depths — the same policy
+    as scripts/colmap2poses.py's SfM depth-percentile bounds (2nd pct *
+    0.8 / max * 1.2), so ModelConfig.sample_near = -1 (auto) lands the
+    march start at the closest real scene content for synthetic
+    datasets exactly like it does for COLMAP ones."""
+    out = []
+    for dmap in depths:
+        fin = dmap[np.isfinite(dmap)]
+        if fin.size == 0:
+            out.append([0.1, 10.0])
+            continue
+        out.append([0.8 * float(np.percentile(fin, 2.0)),
+                    1.2 * float(fin.max())])
+    return np.asarray(out, dtype=np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -419,7 +452,7 @@ def _value_noise(u: np.ndarray, v: np.ndarray, grid_id: int,
 
 
 def _render_textured(pose: np.ndarray, intrinsic: np.ndarray, h: int,
-                     w: int) -> np.ndarray:
+                     w: int, return_depth: bool = False):
     """Aperiodic variant of :func:`_render_scene`: same geometry family
     (ground plane + sphere + box + sky sphere) but every surface carries
     value-noise + linear-ramp texture with NO repeating pattern — the
@@ -522,6 +555,9 @@ def _render_textured(pose: np.ndarray, intrinsic: np.ndarray, h: int,
         * shade_b[..., None]
     color = np.where(hitb[..., None],
                      np.clip(bcol, 0, 1).astype(np.float32), color)
+    if return_depth:
+        t_best = np.where(hitb, tmin, t_best)
+        return color, np.where(np.isfinite(t_best), t_best, tsky)
     return color
 
 
@@ -536,7 +572,7 @@ def make_textured_dataset(n_images: int = 32, h: int = 128, w: int = 128,
     intrinsic = np.array([[focal, 0, w / 2.0],
                           [0, focal, h / 2.0],
                           [0, 0, 1.0]], dtype=np.float32)
-    poses, images = [], []
+    poses, images, depths = [], [], []
     for k in range(n_images):
         ang = 2.0 * np.pi * k / n_images
         elev = 0.5 + 0.12 * rng.standard_normal()
@@ -545,13 +581,15 @@ def make_textured_dataset(n_images: int = 32, h: int = 128, w: int = 128,
             np.sin(ang) * np.cos(elev)])
         pose = look_at_pose(pos, np.array([0.0, -0.3, 0.0]))
         poses.append(pose)
-        images.append(_render_textured(pose, intrinsic, h, w))
+        img, dep = _render_textured(pose, intrinsic, h, w,
+                                    return_depth=True)
+        images.append(img)
+        depths.append(dep)
     poses = np.stack(poses).astype(np.float32)
     from f2nerf_tpu.core.cameras import normalize_poses
     poses, center, radius = normalize_poses(poses)
     return Dataset(
         poses=poses, intrinsics=np.stack([intrinsic] * n_images),
         dist_params=np.zeros((n_images, 4), dtype=np.float32),
-        bounds=np.tile(np.array([0.1, 10.0], dtype=np.float32),
-                       (n_images, 1)),
+        bounds=_depth_bounds(depths),
         images=np.stack(images), center=center, radius=radius)
