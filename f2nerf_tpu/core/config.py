@@ -369,6 +369,18 @@ class Config:
         that need distortion regularization at short horizons.
         """
         return Config(
+            # auto near bound (round 4): the march starts at the
+            # dataset's own closest-content distance (SfM depth
+            # percentile bounds / normalization radius, resolved by the
+            # Trainer). The controlled 32-view A/B (BENCH_NOTES
+            # "Round-4 generalization A/B matrix") shows this is the
+            # single lever that breaks near-camera billboard
+            # memorization on ring captures: checker holdout
+            # 10.6 -> 20.5 dB, textured 18.3 -> 21.8, while coarse-to-
+            # fine annealing and the occlusion regularizer each fail
+            # alone. Forward trajectories resolve to a small near
+            # (corridor: 0.13) so nothing is lost there.
+            model=ModelConfig(sample_near=-1.0),
             train=TrainConfig(pts_batch_size=4096 * 512,
                               end_iter=end_iter,
                               learning_rate=5e-3,
