@@ -356,17 +356,15 @@ class Config:
         it equals the reference's 1k warmup,
         confs/train_config.yaml:10-15).
 
-        var_loss_weight is 0 here (round 3): the distortion ramp at
-        1e-3 is the measured trigger of the long-horizon quality
-        decay — the controlled 32-view 20k A/B collapses at the ramp
-        (train EMA 27->15, fog re-inflates, _runs/r3_gen32) and
-        collapses EARLIER with a weaker sparsity loss, while the
-        var_loss_weight=0 arm rides through the same zone at 31-32 dB
-        (_runs/r3_gen32_var0); round 2's 16-view peak-vs-final sag
-        (36.6@4.5k -> 30.7@20k) spans the same ramp steps. Floater
-        control under occupancy sampling is already carried by the
-        explore-sparsity term. Set 1e-3 back explicitly for scenes
-        that need distortion regularization at short horizons.
+        Distortion regularization (round-3/4 history): the r3 ramp at
+        1e-3 over the middle half of the schedule was the measured
+        trigger of a mid-training collapse (train EMA 27->15, fog
+        re-inflates, _runs/r3_gen32) — but the collapse tracked the
+        ramp's ONSET, not the loss: a constant 1e-4 from step 0 rides
+        the full horizon with no collapse and identical quality
+        (_runs/r4_tex_n06_dist), so that is what ships. Floater control
+        under occupancy sampling is additionally carried by the
+        explore-sparsity term.
         """
         return Config(
             # auto near bound (round 4): the march starts at the
@@ -387,9 +385,18 @@ class Config:
                               learning_rate_warm_up_end_iter=max(
                                   end_iter // 20, 1),
                               var_loss_mode="distortion",
-                              var_loss_weight=0.0,
-                              var_loss_start=end_iter // 4,
-                              var_loss_end=end_iter // 2,
+                              # constant small distortion from step 0
+                              # (round 4): the r3 collapse tracked the
+                              # RAMP's mid-training onset, not the loss
+                              # itself — a constant 1e-4 rides the full
+                              # horizon with no collapse and identical
+                              # quality (r4_tex_n06_dist vs
+                              # r4_tex_near06), restoring the
+                              # reference's depth-regularizer
+                              # capability (train_manager.cpp:80-93)
+                              var_loss_weight=1e-4,
+                              var_loss_start=0,
+                              var_loss_end=1,
                               # anti-fog term: occupancy sampling only
                               # supervises sampled cells; hash
                               # collisions seed density behind the
