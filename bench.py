@@ -53,6 +53,9 @@ def _git_sha() -> str | None:
 _emit_lock = threading.Lock()
 _emitted = False
 _best = {"value": None, "unit": None, "iters_done": 0}
+# arm key of THIS invocation (set in main before any device touch):
+# the cached fallback must never replay a different arm's number
+_arm = {"key": None}
 
 
 def _emit(value: float, unit: str) -> None:
@@ -86,10 +89,14 @@ def _watchdog(budget_s: float) -> None:
         cached = None
         try:
             cached = json.loads(SELF_CACHE.read_text())
-            # refuse a cache written at a different commit: the fallback
-            # exists to survive a wedged tunnel WITHIN a round, not to
-            # replay an old build's number as HEAD's (ADVICE r3)
-            if cached.get("git_sha") != _git_sha():
+            # refuse a cache written at a different commit OR for a
+            # different bench arm: the fallback exists to survive a
+            # wedged tunnel WITHIN a round, not to replay an old
+            # build's (or another operating point's) number (ADVICE r3
+            # + round-4 review). A None sha on either side refuses too.
+            sha = _git_sha()
+            if (sha is None or cached.get("git_sha") != sha
+                    or cached.get("arm") != _arm["key"]):
                 cached = None
         except Exception:
             pass
@@ -131,6 +138,9 @@ def main() -> None:
     ap.add_argument("--no-cache-write", action="store_true")
     args = ap.parse_args()
 
+    _arm["key"] = (f"quick={args.quick},dense={args.dense},"
+                   f"warp={args.warp},"
+                   f"noqm={args.no_quality_machinery},rays={args.rays}")
     threading.Thread(target=_watchdog, args=(args.budget_s,),
                      daemon=True).start()
 
@@ -291,7 +301,7 @@ def main() -> None:
             SELF_CACHE.write_text(json.dumps(
                 {"value": round(value, 1), "unit": unit,
                  "iters": iters, "wall_date": time.strftime("%Y-%m-%d"),
-                 "git_sha": _git_sha()}))
+                 "git_sha": _git_sha(), "arm": _arm["key"]}))
         except OSError:
             pass
     _emit(value, unit)

@@ -52,6 +52,13 @@ class LocalizerParam:
     noise_rotation_y: float = 2.5
     noise_rotation_z: float = 2.5
     resize_factor: int = 1
+    # inference-time march start override (normalized scene units).
+    # None keeps the trained config's sample_near (the field was
+    # optimized under it); set e.g. 0.0 when localizing from poses that
+    # can be closer to geometry than any training camera (a robot
+    # approaching a wall) so the near march is not skipped. Net-new vs
+    # the reference, which always marches from t ~ 0.
+    sample_near: float | None = None
 
 
 class Particle(NamedTuple):
@@ -150,6 +157,9 @@ class Localizer:
         "multi-host batch render + localizer-style inverse rendering"
         path."""
         self.param = param or LocalizerParam()
+        if self.param.sample_near is not None:
+            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                cfg.model, sample_near=float(self.param.sample_near)))
         self.mesh = mesh
         if mesh is not None:
             from f2nerf_tpu.parallel import mesh as mesh_lib

@@ -40,9 +40,10 @@ class RenderResult(NamedTuple):
     # outside the trans_eps survivor prefix (pass 2 never queries the
     # tail), while the single pass returns sigma*dt for every dt>0
     # sample. Consumers must mask by `mask` before relying on tail
-    # values; the only current consumer (explore-sparsity) is occ-mode
-    # only, where two-pass never runs. Equivalence-tested as
-    # sec_density * mask (tests/test_renderer.py).
+    # values; both current consumers comply (explore-sparsity is
+    # occ-mode only, where two-pass never runs; the occlusion
+    # regularizer masks explicitly, train/step.py). Equivalence-tested
+    # as sec_density * mask (tests/test_renderer.py).
     sec_density: jnp.ndarray | None = None  # [R, S]
     explore: jnp.ndarray | None = None      # [R, S] bool
 

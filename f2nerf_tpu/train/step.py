@@ -110,9 +110,14 @@ def make_loss_fn(cfg: Config, encode_fn=None):
             # occlusion regularizer (TrainConfig.occ_reg_weight): mean
             # clipped optical depth of near-march samples — suppresses
             # the per-camera billboard minimum so transmittance (and
-            # with it, gradient flow) reaches the real surface
+            # with it, gradient flow) reaches the real surface.
+            # Restricted to the survivor mask: that is where
+            # sec_density is defined under BOTH render paths (the dense
+            # two-pass zeroes the post-termination tail — RenderResult
+            # contract note), and the billboard itself is always
+            # pre-termination, so the term's target is unaffected.
             near_m = ((res.t < cfg.train.occ_reg_t)
-                      & (res.dt > 0.0)).astype(jnp.float32)
+                      & (res.dt > 0.0) & res.mask).astype(jnp.float32)
             occ_reg = (jnp.sum(jnp.clip(res.sec_density, 0.0, 1e4)
                                * near_m)
                        / jnp.maximum(jnp.sum(near_m), 1.0))
