@@ -125,7 +125,7 @@ def main() -> int:
                                            make_textured_dataset)
     from f2nerf_tpu.models import renderer
     from f2nerf_tpu.train.loop import Trainer
-    from f2nerf_tpu.utils.metrics import psnr
+    from f2nerf_tpu.utils.metrics import psnr, ssim
 
     make = {"checker": make_checker_dataset,
             "sphere": make_sphere_dataset,
@@ -248,20 +248,25 @@ def main() -> int:
         mse = float(((rgb - ds.images[i]) ** 2).sum())
         score = rgb.size / max(mse, 1e-12)
         tag = "holdout" if i in held else "train"
-        rows.append((i, score, psnr(rgb, ds.images[i]), dt, tag))
+        rows.append((i, score, psnr(rgb, ds.images[i]),
+                     ssim(rgb, ds.images[i]), dt, tag))
         print(f"view {i:02d} [{tag}] score={score:.2f} "
-              f"psnr={rows[-1][2]:.2f} {dt * 1e3:.0f} ms", flush=True)
+              f"psnr={rows[-1][2]:.2f} ssim={rows[-1][3]:.3f} "
+              f"{dt * 1e3:.0f} ms", flush=True)
 
     out = args.result_dir / "summary.tsv"
     with open(out, "w") as f:
-        f.write("image_idx\tscore\tpsnr\ttime_s\tsplit\n")
+        f.write("image_idx\tscore\tpsnr\tssim\ttime_s\tsplit\n")
         for r in rows:
-            f.write(f"{r[0]}\t{r[1]:.4f}\t{r[2]:.4f}\t{r[3]:.4f}\t{r[4]}\n")
+            f.write(f"{r[0]}\t{r[1]:.4f}\t{r[2]:.4f}\t{r[3]:.4f}"
+                    f"\t{r[4]:.4f}\t{r[5]}\n")
     for tag in ("train", "holdout"):
-        ps = [r[2] for r in rows if r[4] == tag]
+        ps = [r[2] for r in rows if r[5] == tag]
+        ss = [r[3] for r in rows if r[5] == tag]
         if ps:
             print(f"done: mean {tag} render PSNR {np.mean(ps):.2f} dB "
-                  f"(min {np.min(ps):.2f}, max {np.max(ps):.2f}) -> {out}")
+                  f"(min {np.min(ps):.2f}, max {np.max(ps):.2f}) "
+                  f"SSIM {np.mean(ss):.3f} -> {out}")
     return 0
 
 
