@@ -133,6 +133,9 @@ def main() -> None:
                          "(explore slots + explore-sparsity term) to "
                          "measure the round-1 pure-throughput operating "
                          "point — the documented quality/perf knob")
+    ap.add_argument("--encode_chunk", type=int, default=None,
+                    help="override ModelConfig.encode_chunk (points per "
+                         "paged-encode chunk) for chunk-size probes")
     ap.add_argument("--budget_s", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", 480)))
     ap.add_argument("--no-cache-write", action="store_true")
@@ -140,7 +143,8 @@ def main() -> None:
 
     _arm["key"] = (f"quick={args.quick},dense={args.dense},"
                    f"warp={args.warp},"
-                   f"noqm={args.no_quality_machinery},rays={args.rays}")
+                   f"noqm={args.no_quality_machinery},rays={args.rays},"
+                   f"chunk={args.encode_chunk}")
     threading.Thread(target=_watchdog, args=(args.budget_s,),
                      daemon=True).start()
 
@@ -162,6 +166,10 @@ def main() -> None:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            warp_mode=args.warp))
+    if args.encode_chunk is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           encode_chunk=args.encode_chunk))
     if args.no_quality_machinery:
         cfg = dataclasses.replace(
             cfg,
