@@ -39,7 +39,13 @@ class ModelConfig:
     # 'xor'   = reference-style per-corner XOR-prime hash (oracle path)
     hash_mode: str = "paged"
     init_seed: int = 2022           # numpy-side init (primes, page consts)
-    encode_chunk: int = 65536       # points per paged-encode chunk
+    # points per paged-encode chunk. 20480 measured optimal on the v5e
+    # flagship (bench.py --encode_chunk sweep, round 4): 56.6k vs 52.5k
+    # rays/s at 65536 — smaller chunks shrink the per-chunk VMEM
+    # working set of the gather+trilinear stream and pipeline better;
+    # below ~16k the per-chunk dispatch overhead wins again
+    # (12288 -> 53.7k, 14336 -> 52.5k).
+    encode_chunk: int = 20480
     # ray-coherent run-length dedup of coarse-level page fetches
     # (ops/hash_paged.py paged_encode_rays) — exact, pure perf
     encode_dedup: bool = True
