@@ -40,12 +40,29 @@ REFERENCE_RAYS_PER_S = 14200.0  # F2-NeRF paper, RTX 2080Ti (see docstring)
 SELF_CACHE = pathlib.Path(__file__).resolve().parent / "BENCH_SELF.json"
 
 def _git_sha() -> str | None:
+    """HEAD sha, suffixed with a working-tree diff hash when dirty.
+
+    A dirty tree shares HEAD with the commit it diverged from, so a
+    bare-sha cache key would replay a number measured on different code
+    (ADVICE r4). Keying on sha+diff-hash makes the cached fallback
+    valid only for the exact source state it was measured at.
+    """
     try:
+        import hashlib
         import subprocess
-        return subprocess.run(
+        sha = subprocess.run(
             ["git", "-C", str(SELF_CACHE.parent), "rev-parse", "HEAD"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or None
+        if sha is None:
+            return None
+        diff = subprocess.run(
+            ["git", "-C", str(SELF_CACHE.parent), "diff", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+        if diff:
+            sha += "+dirty:" + hashlib.sha256(diff.encode()).hexdigest()[:12]
+        return sha
     except Exception:
         return None
 

@@ -412,7 +412,15 @@ def _value_noise(u: np.ndarray, v: np.ndarray, grid_id: int,
     """Aperiodic multi-octave value noise over [0,1]^2: each octave
     bilinearly samples a FIXED random grid at an irrational frequency
     ratio, so no translate of the pattern repeats within the surface
-    extent. Inputs outside [0,1] are clamped."""
+    extent.
+
+    NOTE (ADVICE r4, intentional): octaves with f > 1 apply
+    ``u * f % 1.0`` BEFORE the clip, so the wrap introduces hard value
+    steps at u = k/f inside the surface extent. These seams are kept
+    deliberately: they are extra aperiodic high-frequency texture (the
+    scene is a generalization gate, not a smoothness benchmark), and
+    changing the function would change the gt images out from under
+    every trained checkpoint that uses this scene."""
     total = np.zeros_like(u)
     amp, norm = 1.0, 0.0
     for o in range(octaves):

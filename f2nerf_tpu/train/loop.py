@@ -52,6 +52,19 @@ class Trainer:
             import dataclasses as _dc
             near = float(np.min(dataset.bounds[:, 0])
                          / max(dataset.radius, 1e-9))
+            # Sanity-clamp (ADVICE r4): cameras lie on the unit ball
+            # after normalization, so a resolved near beyond ~1.5 means
+            # the cams_meta bounds are in units inconsistent with the
+            # poses (or an outlier SfM near) — marching from there
+            # would silently skip the whole scene.
+            if near > 1.5:
+                print(f"WARNING: auto sample_near resolved to {near:.3f}"
+                      " (> 1.5 x scene radius — dataset bounds look"
+                      " inconsistent with the normalized poses);"
+                      " clamping to 1.5")
+                near = 1.5
+            print(f"auto sample_near resolved to {near:.4f} "
+                  "(normalized units)")
             cfg = _dc.replace(cfg, model=_dc.replace(
                 cfg.model, sample_near=near))
         self.cfg = cfg
