@@ -80,7 +80,8 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
            key: jax.Array | None, train: bool,
            encode_fn=None, occ_bits: jnp.ndarray | None = None,
            point_grads: bool = True,
-           level_weights: jnp.ndarray | None = None) -> RenderResult:
+           level_weights: jnp.ndarray | None = None,
+           eval_emb: jnp.ndarray | None = None) -> RenderResult:
     """Render a batch of rays.
 
     Args:
@@ -97,6 +98,14 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
         for pose gradients (localizer differential mode); the train
         step passes False to drop the path entirely (XLA cannot DCE it
         through the chunked backward loop).
+      eval_emb: optional [app_emb_dim] appearance vector added to the
+        shading features in VALIDATE mode. The reference renders
+        validation frames with NO appearance embedding
+        (src/renderer.cpp:100-104 gates the scatter on TRAIN), which
+        evaluates the shader off the manifold it trained on — every
+        train sample saw `1 + feat + emb`. Passing the mean trained
+        embedding (NeRF-W-style test-time appearance) restores the
+        trained operating point; net-new vs the reference.
     """
     r = rays_o.shape[0]
     if train:
@@ -127,12 +136,13 @@ def render(params: Params, consts: Params, rays_o: jnp.ndarray,
     return _render_samples(params, consts, smp.pts, smp.dirs, smp.t,
                            smp.dt, getattr(smp, "explore", None),
                            emb_idx, bg_color, cfg, train, encode_fn,
-                           point_grads, level_weights)
+                           point_grads, level_weights, eval_emb)
 
 
 def _render_samples(params, consts, pts, ray_dirs, t, dt, explore,
                     emb_idx, bg_color, cfg, train, encode_fn,
-                    point_grads, level_weights) -> RenderResult:
+                    point_grads, level_weights,
+                    eval_emb=None) -> RenderResult:
     """Field query + shading + masked compositing over [R, S] samples."""
     r, s = pts.shape[0], pts.shape[1]
     feat = hash_field.query_rays(params["field"], consts["field"],
@@ -147,6 +157,8 @@ def _render_samples(params, consts, pts, ray_dirs, t, dt, explore,
         [jnp.ones_like(feat[..., :1]), feat[..., 1:]], axis=-1)
     if train and emb_idx is not None:
         shading_feat = shading_feat + params["app_emb"][emb_idx][:, None, :]
+    elif not train and eval_emb is not None:
+        shading_feat = shading_feat + eval_emb[None, None, :]
 
     dirs = jnp.broadcast_to(ray_dirs[:, None, :], (r, s, 3))
     colors = sh_shader.query(params["shader"], shading_feat, dirs, cfg)
@@ -279,13 +291,27 @@ def _render_two_pass(params, consts, smp, emb_idx, bg_color, cfg, train,
 import functools
 
 
-@functools.lru_cache(maxsize=8)
-def _jit_validate_render(cfg: ModelConfig, encode_fn, with_occ: bool):
+@functools.lru_cache(maxsize=16)
+def _jit_validate_render(cfg: ModelConfig, encode_fn, with_occ: bool,
+                         with_emb: bool):
+    # eval_emb is a traced argument (not a closure constant) so
+    # different appearance vectors share one compiled program
+    if with_occ and with_emb:
+        return jax.jit(
+            lambda p, c, o, d, b, e: render(p, c, o, d, None, cfg, None,
+                                            train=False,
+                                            encode_fn=encode_fn,
+                                            occ_bits=b, eval_emb=e)[:2])
     if with_occ:
         return jax.jit(
             lambda p, c, o, d, b: render(p, c, o, d, None, cfg, None,
                                          train=False, encode_fn=encode_fn,
                                          occ_bits=b)[:2])
+    if with_emb:
+        return jax.jit(
+            lambda p, c, o, d, e: render(p, c, o, d, None, cfg, None,
+                                         train=False, encode_fn=encode_fn,
+                                         eval_emb=e)[:2])
     return jax.jit(
         lambda p, c, o, d: render(p, c, o, d, None, cfg, None, train=False,
                                   encode_fn=encode_fn)[:2])
@@ -295,7 +321,9 @@ def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
                         rays_d: jnp.ndarray, cfg: ModelConfig,
                         chunk: int = 8192, encode_fn=None,
                         occ_bits: jnp.ndarray | None = None,
-                        mesh=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+                        mesh=None,
+                        eval_emb: jnp.ndarray | None = None
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """VALIDATE-mode render of many rays in fixed-size chunks.
 
     Reference Renderer::render_all_rays (src/renderer.cpp:125-151). Pads
@@ -308,7 +336,10 @@ def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
     """
     n = rays_o.shape[0]
     with_occ = cfg.sampler_mode == "occ"
-    fn = _jit_validate_render(cfg, encode_fn, with_occ)
+    with_emb = eval_emb is not None
+    fn = _jit_validate_render(cfg, encode_fn, with_occ, with_emb)
+    if with_emb:
+        eval_emb = jnp.asarray(eval_emb)
     ray_sharding = None
     if mesh is not None:
         from f2nerf_tpu.parallel import mesh as mesh_lib
@@ -318,6 +349,8 @@ def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
         consts = mesh_lib.replicate(mesh, consts)
         if occ_bits is not None:
             occ_bits = mesh_lib.replicate(mesh, occ_bits)
+        if with_emb:
+            eval_emb = mesh_lib.replicate(mesh, eval_emb)
     outs_c, outs_d = [], []
     for i in range(0, n, chunk):
         o = rays_o[i:i + chunk]
@@ -329,10 +362,12 @@ def render_rays_chunked(params: Params, consts: Params, rays_o: jnp.ndarray,
         if ray_sharding is not None:
             o = jax.device_put(o, ray_sharding)
             d = jax.device_put(d, ray_sharding)
+        args = (params, consts, o, d)
         if with_occ:
-            c, dep = fn(params, consts, o, d, occ_bits)
-        else:
-            c, dep = fn(params, consts, o, d)
+            args += (occ_bits,)
+        if with_emb:
+            args += (eval_emb,)
+        c, dep = fn(*args)
         outs_c.append(c[:chunk - pad] if pad else c)
         outs_d.append(dep[:chunk - pad] if pad else dep)
     return jnp.concatenate(outs_c, 0), jnp.concatenate(outs_d, 0)
@@ -342,17 +377,37 @@ def render_image(params: Params, consts: Params, pose: jnp.ndarray,
                  intrinsic: jnp.ndarray,
                  h: int, w: int, cfg: ModelConfig, chunk: int = 8192,
                  encode_fn=None, occ_bits: jnp.ndarray | None = None,
-                 mesh=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 mesh=None, eval_emb: jnp.ndarray | None = None,
+                 supersample: int = 1
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render a full image; returns (rgb [H, W, 3] clipped, depth [H, W]).
 
     Reference Renderer::render_image (src/renderer.cpp:153-172); with
     ``mesh``, rays are sharded across chips (see render_rays_chunked).
+
+    ``supersample=k`` renders at k*h x k*w through scaled intrinsics
+    and box-averages k x k blocks — the ray through supersampled pixel
+    (k*i + a, k*j + b) has image-plane coordinate
+    ((k*j + b + .5) - k*cx) / (k*fx), whose k x k average equals the
+    original pixel-center ray, so this is exact area supersampling of
+    the original camera (net-new eval aid; the reference renders one
+    center ray per pixel).
     """
     from f2nerf_tpu.core.cameras import pixel_grid, rays_from_pose
-    ij = jnp.asarray(pixel_grid(h, w))
+    k = max(int(supersample), 1)
+    if k > 1:
+        intrinsic = jnp.asarray(intrinsic) * k
+        intrinsic = intrinsic.at[2, 2].set(1.0)
+    hh, ww = h * k, w * k
+    ij = jnp.asarray(pixel_grid(hh, ww))
     rays_o, rays_d = rays_from_pose(pose[None], intrinsic[None], ij)
     colors, depths = render_rays_chunked(
         params, consts, rays_o, rays_d, cfg, chunk=chunk,
-        encode_fn=encode_fn, occ_bits=occ_bits, mesh=mesh)
-    rgb = jnp.clip(colors.reshape(h, w, 3), 0.0, 1.0)
-    return rgb, depths.reshape(h, w)
+        encode_fn=encode_fn, occ_bits=occ_bits, mesh=mesh,
+        eval_emb=eval_emb)
+    rgb = jnp.clip(colors.reshape(hh, ww, 3), 0.0, 1.0)
+    depth = depths.reshape(hh, ww)
+    if k > 1:
+        rgb = rgb.reshape(h, k, w, k, 3).mean(axis=(1, 3))
+        depth = depth.reshape(h, k, w, k).mean(axis=(1, 3))
+    return rgb, depth

@@ -100,6 +100,17 @@ def main() -> int:
     ap.add_argument("--level_anneal_end", type=int, default=None,
                     help="coarse-to-fine: unmask hash levels over the "
                          "first N steps (TrainConfig.level_anneal_end)")
+    ap.add_argument("--eval_emb", default="none",
+                    choices=("none", "mean"),
+                    help="appearance handling for the summary renders: "
+                         "'mean' adds the mean trained per-image "
+                         "embedding in VALIDATE mode (NeRF-W-style "
+                         "test-time appearance; the reference renders "
+                         "with none, evaluating the shader off its "
+                         "trained manifold — renderer.py eval_emb)")
+    ap.add_argument("--supersample", type=int, default=1,
+                    help="render summary views at k x resolution and "
+                         "box-average down (exact area supersampling)")
     ap.add_argument("--budget_s", type=float, default=540.0,
                     help="wall budget for this invocation's training")
     ap.add_argument("--slice_steps", type=int, default=500,
@@ -235,6 +246,28 @@ def main() -> int:
     # the reference test driver: render every pose, score per image.
     # Held-out views (never trained on) are scored in the same pass and
     # marked in summary.tsv; their mean is the overfitting-safe number.
+    eval_emb = None
+    if args.eval_emb == "mean":
+        eval_emb = jnp.mean(tr.params["app_emb"], axis=0)
+    # LPIPS(vgg): populated when real calibration weights are present
+    # (utils/lpips.py — this environment ships none, so the column is
+    # NaN but the harness stays executable; VERDICT r4 #7)
+    lpips_model = None
+    try:
+        from f2nerf_tpu.utils import lpips as lpips_lib
+        _m = (lpips_lib.load()
+              if lpips_lib.default_weights_path() is not None else None)
+        if _m is not None:
+            import torch
+
+            def lpips_model(a, b):
+                def t(x):
+                    x = np.ascontiguousarray(x, dtype=np.float32)
+                    return (torch.from_numpy(x).permute(2, 0, 1)[None]
+                            * 2.0 - 1.0)
+                return _m(t(a), t(b))
+    except Exception:
+        lpips_model = None
     rows = []
     for i in range(ds.n_images):
         ts = time.monotonic()
@@ -242,27 +275,30 @@ def main() -> int:
             tr.params, tr.consts, jnp.asarray(ds.poses[i]),
             jnp.asarray(ds.intrinsics[i]),
             ds.height, ds.width, tr.cfg.model, chunk=16384,
-            occ_bits=tr.occ_bits())
+            occ_bits=tr.occ_bits(), eval_emb=eval_emb,
+            supersample=args.supersample)
         dt = time.monotonic() - ts
         rgb = np.asarray(rgb)
         mse = float(((rgb - ds.images[i]) ** 2).sum())
         score = rgb.size / max(mse, 1e-12)
         tag = "holdout" if i in held else "train"
+        lp = (lpips_model(rgb, ds.images[i])
+              if lpips_model is not None else float("nan"))
         rows.append((i, score, psnr(rgb, ds.images[i]),
-                     ssim(rgb, ds.images[i]), dt, tag))
+                     ssim(rgb, ds.images[i]), lp, dt, tag))
         print(f"view {i:02d} [{tag}] score={score:.2f} "
               f"psnr={rows[-1][2]:.2f} ssim={rows[-1][3]:.3f} "
-              f"{dt * 1e3:.0f} ms", flush=True)
+              f"lpips={lp:.3f} {dt * 1e3:.0f} ms", flush=True)
 
     out = args.result_dir / "summary.tsv"
     with open(out, "w") as f:
-        f.write("image_idx\tscore\tpsnr\tssim\ttime_s\tsplit\n")
+        f.write("image_idx\tscore\tpsnr\tssim\tlpips\ttime_s\tsplit\n")
         for r in rows:
             f.write(f"{r[0]}\t{r[1]:.4f}\t{r[2]:.4f}\t{r[3]:.4f}"
-                    f"\t{r[4]:.4f}\t{r[5]}\n")
+                    f"\t{r[4]:.4f}\t{r[5]:.4f}\t{r[6]}\n")
     for tag in ("train", "holdout"):
-        ps = [r[2] for r in rows if r[5] == tag]
-        ss = [r[3] for r in rows if r[5] == tag]
+        ps = [r[2] for r in rows if r[6] == tag]
+        ss = [r[3] for r in rows if r[6] == tag]
         if ps:
             print(f"done: mean {tag} render PSNR {np.mean(ps):.2f} dB "
                   f"(min {np.min(ps):.2f}, max {np.max(ps):.2f}) "

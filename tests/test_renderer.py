@@ -86,6 +86,60 @@ class TestRender:
         assert not np.allclose(np.asarray(r_train.colors),
                                np.asarray(r_val.colors), atol=1e-4)
 
+    def test_eval_emb(self, tiny_cfg, rng):
+        """VALIDATE-mode appearance vector (renderer.py eval_emb):
+        zeros is a no-op, the mean trained embedding shifts the shading
+        exactly like the TRAIN-path embedding add, and the chunked
+        renderer threads it through."""
+        cfg = tiny_cfg.model
+        params, consts = renderer.init(jax.random.key(0), cfg, 4)
+        params = dict(params)
+        params["app_emb"] = jnp.asarray(
+            rng.normal(0, 2.0, params["app_emb"].shape), jnp.float32)
+        o, d = _rand_rays(rng, 4)
+        base = renderer.render(params, consts, o, d, None, cfg, None,
+                               train=False)
+        zero = renderer.render(params, consts, o, d, None, cfg, None,
+                               train=False,
+                               eval_emb=jnp.zeros(cfg.app_emb_dim))
+        np.testing.assert_allclose(np.asarray(base.colors),
+                                   np.asarray(zero.colors), atol=1e-6)
+        mean_emb = jnp.mean(params["app_emb"], axis=0)
+        shifted = renderer.render(params, consts, o, d, None, cfg, None,
+                                  train=False, eval_emb=mean_emb)
+        assert not np.allclose(np.asarray(base.colors),
+                               np.asarray(shifted.colors), atol=1e-4)
+        # identical to the TRAIN embedding path with jitter off: an
+        # index whose row equals the mean, rendered via TRAIN=false is
+        # not reachable, so compare against chunked VALIDATE instead
+        c_chunk, _ = renderer.render_rays_chunked(
+            params, consts, o, d, cfg, chunk=2, eval_emb=mean_emb)
+        np.testing.assert_allclose(np.asarray(shifted.colors),
+                                   np.asarray(c_chunk), atol=1e-6)
+
+    def test_supersample_render(self, tiny_cfg):
+        """supersample=2 averages a 2x2 exact subpixel grid; output
+        shape is unchanged and the image stays in range. The k=1 path
+        must be bit-identical to the default."""
+        cfg = tiny_cfg.model
+        params, consts = renderer.init(jax.random.key(0), cfg, 4)
+        pose = jnp.eye(3, 4)
+        intr = jnp.asarray([[20.0, 0, 8.0], [0, 20.0, 6.0], [0, 0, 1.0]])
+        rgb1, dep1 = renderer.render_image(params, consts, pose, intr,
+                                           8, 10, cfg, chunk=64)
+        rgb1b, _ = renderer.render_image(params, consts, pose, intr,
+                                         8, 10, cfg, chunk=64,
+                                         supersample=1)
+        np.testing.assert_array_equal(np.asarray(rgb1),
+                                      np.asarray(rgb1b))
+        rgb2, dep2 = renderer.render_image(params, consts, pose, intr,
+                                           8, 10, cfg, chunk=64,
+                                           supersample=2)
+        assert rgb2.shape == (8, 10, 3) and dep2.shape == (8, 10)
+        assert float(rgb2.min()) >= 0.0 and float(rgb2.max()) <= 1.0
+        # supersampled render approximates the center-ray render
+        assert float(jnp.abs(rgb2 - rgb1).mean()) < 0.2
+
     def test_pose_gradient_flows(self, tiny_cfg):
         """Differentiable pose path (the localizer's core requirement;
         broken in the reference via the SH kernel, SURVEY.md §3.4)."""
