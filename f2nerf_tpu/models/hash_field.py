@@ -202,7 +202,7 @@ def query(params: Params, consts: Params, points: jnp.ndarray,
             if pre_contracted else points
         x = warp_points(world, WarpTables(
             anchors=consts["warp_anchors"], rows=consts["warp_rows"],
-            n_cams=cfg.warp_n_cams))
+            n_cams=cfg.warp_n_cams), blend_k=cfg.warp_blend_k)
     else:
         x = points if pre_contracted else contract(points,
                                                    cfg.contraction_radius)

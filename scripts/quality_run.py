@@ -44,7 +44,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("result_dir", type=pathlib.Path)
     ap.add_argument("--scene", choices=("checker", "sphere", "corridor",
-                                        "textured"),
+                                        "textured", "longtraj"),
                     default="checker")
     ap.add_argument("--n_images", type=int, default=16)
     ap.add_argument("--hw", type=int, default=128)
@@ -69,6 +69,9 @@ def main() -> int:
     ap.add_argument("--n_channels", type=int, default=None)
     ap.add_argument("--warp_mode", default=None,
                     choices=("contract", "perspective"))
+    ap.add_argument("--warp_blend_k", type=int, default=None,
+                    help="smooth chart blending: k nearest anchors "
+                         "(1 = hard regions; models/warp.py)")
     ap.add_argument("--occ_thresh", type=float, default=None)
     ap.add_argument("--occ_decay", type=float, default=None)
     ap.add_argument("--occ_explore_targeted", type=int, default=None,
@@ -97,6 +100,10 @@ def main() -> int:
                          "(TrainConfig.occ_reg_weight)")
     ap.add_argument("--occ_reg_t", type=float, default=None,
                     help="penalize density at t < this march distance")
+    ap.add_argument("--train_app_emb", type=int, default=None,
+                    help="1/0: per-image appearance embedding in TRAIN "
+                         "renders (0 for appearance-constant captures "
+                         "- TrainConfig.train_app_emb)")
     ap.add_argument("--level_anneal_end", type=int, default=None,
                     help="coarse-to-fine: unmask hash levels over the "
                          "first N steps (TrainConfig.level_anneal_end)")
@@ -132,6 +139,7 @@ def main() -> int:
     from f2nerf_tpu.core.config import Config
     from f2nerf_tpu.data.synthetic import (make_checker_dataset,
                                            make_corridor_dataset,
+                                           make_longtraj_dataset,
                                            make_sphere_dataset,
                                            make_textured_dataset)
     from f2nerf_tpu.models import renderer
@@ -141,7 +149,8 @@ def main() -> int:
     make = {"checker": make_checker_dataset,
             "sphere": make_sphere_dataset,
             "corridor": make_corridor_dataset,
-            "textured": make_textured_dataset}[args.scene]
+            "textured": make_textured_dataset,
+            "longtraj": make_longtraj_dataset}[args.scene]
     ds = make(n_images=args.n_images, h=args.hw, w=args.hw)
     held, train_ds = [], ds
     if args.holdout > 0:
@@ -167,10 +176,13 @@ def main() -> int:
                  "occ_reg_weight", "occ_reg_t"):
         if getattr(args, name) is not None:
             tkw[name] = getattr(args, name)
+    if args.train_app_emb is not None:
+        tkw["train_app_emb"] = bool(args.train_app_emb)
     mkw = {}
     for src, dst in (("sampler", "sampler_mode"), ("n_levels", "n_levels"),
                      ("log2_table_size", "log2_table_size"),
                      ("n_channels", "n_channels"), ("warp_mode", "warp_mode"),
+                     ("warp_blend_k", "warp_blend_k"),
                      ("occ_thresh", "occ_thresh"), ("occ_decay", "occ_decay"),
                      ("occ_trans_eps", "occ_trans_eps"),
                      ("sample_near", "sample_near"),

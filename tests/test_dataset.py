@@ -114,3 +114,28 @@ def test_textured_dataset_aperiodic():
     # determinism: two builds produce identical pixels
     ds2 = make_textured_dataset(n_images=3, h=32, w=32)
     np.testing.assert_array_equal(ds.images, ds2.images)
+
+
+def test_longtraj_dataset():
+    """The configs[3] stress scene (VERDICT r4 #3): a long winding free
+    trajectory with aperiodic textures. Path must wind (lateral
+    position is non-monotonic and spans real amplitude), content must
+    exist in every view, and traced depth bounds must bracket the
+    march."""
+    from f2nerf_tpu.data.synthetic import make_longtraj_dataset
+    ds = make_longtraj_dataset(n_images=8, h=32, w=32, length=40.0)
+    assert ds.images.shape == (8, 32, 32, 3)
+    assert 0.0 <= ds.images.min() and ds.images.max() <= 1.0
+    assert all(im.std() > 0.05 for im in ds.images)
+    # travel axis is monotonic, normalized to the unit ball
+    z = ds.poses[:, 2, 3]
+    assert np.all(np.diff(z) > 0) and np.abs(z).max() <= 1.0 + 1e-5
+    # the path winds: lateral (x) positions change sign / span widely
+    x = ds.poses[:, 0, 3] * ds.radius
+    assert x.max() - x.min() > 1.0
+    # real traced near/far bounds per camera (world units)
+    assert np.all(ds.bounds[:, 0] > 0.0)
+    assert np.all(ds.bounds[:, 1] > ds.bounds[:, 0])
+    # determinism
+    ds2 = make_longtraj_dataset(n_images=8, h=32, w=32, length=40.0)
+    np.testing.assert_array_equal(ds.images, ds2.images)
