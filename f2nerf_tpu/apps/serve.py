@@ -102,6 +102,7 @@ class LocalizerService:
             pose = self.pose_nerf.copy()
             prev = self.previous_score
 
+        extra = {}
         if mode == 0:
             # score-adaptive noise (nerf_based_localizer.cpp:276-279)
             noise_coeff = float(np.clip(BASE_SCORE / max(prev, 1e-6),
@@ -112,11 +113,29 @@ class LocalizerService:
             if self.save_particles_dir:
                 self._dump_particles(particles)
             new_pose = calc_average_pose(particles)
-        else:
+        elif mode == 1:
             noise_coeff = 0.0
             results = self.localizer.optimize_pose_by_differential(
                 pose, image, iteration_num=1)
             new_pose = results[-1] if results else pose
+        else:
+            # mode 2 (net-new): the staged pipeline — shrinking-rounds
+            # particle search + safeguarded auto-lr differential
+            # refinement (Localizer.localize). Use for (re)acquisition
+            # from a coarse prior; modes 0/1 remain the reference's
+            # per-frame tracking behaviors.
+            noise_coeff = float(req.get("noise_coeff", 2.0))
+            res = self.localizer.localize(
+                pose, image,
+                particle_num=int(req.get("particle_num", 128)),
+                search_rounds=int(req.get("search_rounds", 3)),
+                noise_coeff=noise_coeff,
+                diff_iters=int(req.get("diff_iters", 30)),
+                diff_lr=float(req.get("diff_lr", 3e-3)))
+            new_pose = res["pose"]
+            extra = {"diff_loss": float(res["loss"]),
+                     "lr_final": float(res["lr_final"]),
+                     "backtracks": int(res["backtracks"])}
 
         rendered = np.asarray(self.localizer.render_image(new_pose))
         score = image_score(
@@ -134,6 +153,7 @@ class LocalizerService:
             "pose": self.localizer.camera2world(new_pose).tolist(),
             "score": float(score),
             "noise_coeff": noise_coeff,
+            **extra,
         }
         if req.get("return_image"):
             # the ROS relay republishes the render as nerf_image

