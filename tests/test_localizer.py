@@ -236,9 +236,9 @@ class TestStagedLocalize:
         true_pose = ds.poses[3]
         noisy = true_pose.copy()
         noisy[:3, 3] += np.array([0.07, -0.02, -0.05], dtype=np.float32)
-        res = core.localize(noisy, ds.images[3], particle_num=48,
+        res = core.localize(noisy, ds.images[3], particle_num=32,
                             search_rounds=2, noise_coeff=2.0,
-                            diff_iters=10, diff_lr=1e-3)
+                            diff_iters=4, diff_lr=1e-3)
         err_before = np.linalg.norm(noisy[:3, 3] - true_pose[:3, 3])
         err_after = np.linalg.norm(res["pose"][:3, 3]
                                    - true_pose[:3, 3])
@@ -248,6 +248,7 @@ class TestStagedLocalize:
                                    res["search_pose"][:3, :3], atol=1e-7)
         assert np.isfinite(res["loss"])
 
+    @pytest.mark.slow
     def test_auto_lr_fences_divergent_rate(self, trained):
         """An absurd initial lr must not diverge: the safeguard
         backtracks, halves the rate, and the final loss is no worse

@@ -55,7 +55,9 @@ def _run_step(cfg, n_devices, batch):
                    jnp.asarray(0, jnp.int32), cam, ij, gt)
 
 
-@pytest.mark.parametrize("n_devices", [2, 8])
+@pytest.mark.parametrize(
+    "n_devices",
+    [2, pytest.param(8, marks=pytest.mark.slow)])
 def test_sharded_matches_single_device(tiny_cfg, n_devices):
     """Rays sharded over the data axis must reproduce single-device
     results (deterministic scatter-add across shard counts)."""

@@ -140,6 +140,7 @@ class TestRender:
         # supersampled render approximates the center-ray render
         assert float(jnp.abs(rgb2 - rgb1).mean()) < 0.2
 
+    @pytest.mark.slow
     def test_pose_gradient_flows(self, tiny_cfg):
         """Differentiable pose path (the localizer's core requirement;
         broken in the reference via the SH kernel, SURVEY.md §3.4)."""

@@ -205,6 +205,7 @@ class TestTrainer:
         m = tr.run(20)
         assert np.isfinite(m["loss"])
 
+    @pytest.mark.slow
     def test_loss_scale_equivalence(self, tiny_cfg, sphere_ds):
         """Static loss scaling (reference fp16 kernels' x128 scale,
         hash_3d_anchored.cu:190-215) is a pure numerics-ordering knob:
@@ -308,6 +309,7 @@ class TestTrainer:
         with pytest.raises(FloatingPointError):
             tr.run(4)
 
+    @pytest.mark.slow
     def test_nan_recovery_rejects_poisoned_opt_state(
             self, tiny_cfg, sphere_ds, tmp_path):
         """A checkpoint with finite params but NaN Adam moments (saved

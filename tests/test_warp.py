@@ -2,6 +2,7 @@
 
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,6 +94,7 @@ def test_warp_checkpoint_roundtrip(tiny_cfg, sphere_ds, tmp_path):
         np.asarray(tr2.consts["field"]["warp_rows"]))
 
 
+@pytest.mark.slow
 def test_warp_mode_with_occ_sampler_trains(occ_cfg, sphere_ds):
     """Perspective warp composes with the occupancy sampler (the warp
     reindexes encode inputs; the sampler's eligibility/exploration path
