@@ -201,11 +201,16 @@ def _render_two_pass(params, consts, smp, emb_idx, bg_color, cfg, train,
     r, s = smp.pts.shape[0], smp.pts.shape[1]
     n = r * s
 
-    # pass 1: density only, no gradients
+    # pass 1: density only, no gradients. Run-dedup is disabled here —
+    # its win is the run-compressed backward (BENCH_NOTES/ROOFLINE:
+    # fwd-only measures 41.7 ms dedup vs 38.5 flat at the dense point),
+    # and a gradient-free pass has no backward to compress.
+    import dataclasses as _dc
+    cfg1 = _dc.replace(cfg, encode_dedup=False)
     pts1 = jax.lax.stop_gradient(smp.pts)
     feat1 = hash_field.query_rays(
         jax.lax.stop_gradient(params["field"]),
-        jax.lax.stop_gradient(consts["field"]), pts1, cfg,
+        jax.lax.stop_gradient(consts["field"]), pts1, cfg1,
         encode_fn=encode_fn, point_grads=False,
         level_weights=level_weights)
     sigma1 = density_activation(feat1[..., 0], cfg.density_shift)
