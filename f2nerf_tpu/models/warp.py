@@ -92,69 +92,42 @@ def build_warp(poses: np.ndarray, cfg) -> WarpTables:
     pcas = np.zeros((m, 3, 2 * n), np.float32)
     scales = np.zeros((m, 3), np.float32)
 
-    # march span of the samplers (both the dense and occ sampler walk
-    # ~n_samples * sample_l units): the probe distribution below must
-    # cover what the field will actually be asked to encode
-    march = float(getattr(cfg, "n_samples", 1024)
-                  * getattr(cfg, "sample_l", 1.0 / 256.0))
-
     for k in range(m):
         d = np.linalg.norm(cam_pos - anchors[k], axis=-1)
         cams = np.argsort(d)[:n]
+        # typical camera spacing sets the probe region extent
+        spacing = max(float(np.median(d[cams][1:])) if n > 1 else 0.5,
+                      0.25)
         for i, ci in enumerate(cams):
             r = poses[ci, :3, :3]
             t = poses[ci, :3, 3]
             w2c_all[k, i, :, :3] = r.T
             w2c_all[k, i, :, 3] = -r.T @ t
 
-        # probe points = samples along rays CAST FROM the region's own
-        # cameras over the march span — the distribution the hash
-        # field actually queries. (Round-5 recalibration: the previous
-        # Gaussian cloud around the anchor measured catastrophically
-        # wrong on the corridor — actual ray content landed in
-        # |y| ~ 0.03..0.5 of the +-2 hash domain with a median minimum
-        # Jacobian singular value of 0.005, i.e. ~1 world unit of
-        # depth per hash cell. Ray-based probes give the PCA real
-        # parallax/depth variance and the scales full domain use;
-        # BENCH_NOTES round 5.)
-        probe_list = []
-        n_rays, n_t = 16, 24
-        for ci in cams:
-            r = poses[ci, :3, :3]
-            t0 = poses[ci, :3, 3]
-            uv = rng.uniform(-0.6, 0.6, (n_rays, 2)).astype(np.float32)
-            dirs_c = np.concatenate(
-                [uv, -np.ones((n_rays, 1), np.float32)], axis=1)
-            dirs = dirs_c @ r.T
-            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-            ts = rng.uniform(0.02 * march, march,
-                             (n_rays, n_t)).astype(np.float32)
-            probe_list.append(
-                (t0[None, None] + dirs[:, None] * ts[..., None])
-                .reshape(-1, 3))
-        probes = np.concatenate(probe_list, axis=0)
-
-        v = _project_np(probes, w2c_all[k])              # [P, 2n]
-        # clip projection outliers (points grazing a camera's plane
-        # blow up u/v and would own the PCA); runtime uses the same
-        # perspective projection, so the chart stays faithful on the
-        # 99%+ of content inside the clip
-        v = np.clip(v, -4.0, 4.0)
+        # probe points around the anchor (region scale ~ 2x spacing).
+        # NOTE (round-5 measured negative, BENCH_NOTES "warp
+        # recalibration"): replacing this Gaussian cloud with ray-cast
+        # probes + p90 domain-filling scales + tanh squash fixed the
+        # chart conditioning on paper (content filled the hash domain,
+        # no clipping) and cost 5 dB of corridor train PSNR — at fixed
+        # table capacity, 24 regions x full-domain content multiplies
+        # the hash collision load ~24x. The "wasteful" small-core
+        # mapping below is an implicit, measured-better resolution/
+        # collision trade.
+        probes = anchors[k] + rng.normal(
+            0.0, spacing, (256, 3)).astype(np.float32)
+        v = _project_np(probes, w2c_all[k])              # [256, 2n]
         mu = v.mean(axis=0)
         vc = v - mu
         # top-3 principal directions
         _, s, vt = np.linalg.svd(vc, full_matrices=False)
         pca = vt[:3]                                      # [3, 2n]
-        y = vc @ pca.T                                    # [P, 3]
+        y = vc @ pca.T                                    # [256, 3]
+        std = np.maximum(y.std(axis=0), 1e-4)
         means[k] = mu
         pcas[k] = pca
-        # robust scale: the 90th percentile of |y| maps to 1.0 in
-        # pre-squash space — through the 2*tanh(y/2) squash (below)
-        # that lands at ~0.92 with slope ~0.79, so the bulk of real
-        # ray content fills the hash domain core and the heavy
-        # perspective tail compresses smoothly instead of clipping
-        p90 = np.maximum(np.percentile(np.abs(y), 90.0, axis=0), 1e-4)
-        scales[k] = 1.0 / p90
+        # map ~2.5 sigma to the edge of the hash domain [-2, 2]
+        scales[k] = 2.0 / (2.5 * std)
 
     # sign-align charts for blending (see module docstring): each
     # region's PCA component signs follow its nearest already-aligned
@@ -223,7 +196,7 @@ def warp_points(points: jnp.ndarray, tables: WarpTables,
         row = jnp.take(tables.rows, region, axis=0,
                        mode="clip")                       # [P, 128]
         y = _chart_apply(row, points, n)
-        return 2.0 * jnp.tanh(0.5 * y)
+        return jnp.clip(y, -1.999, 1.999)
 
     neg_d2, idx = jax.lax.top_k(-d2, k)                   # [P, K]
     rows = jnp.take(tables.rows, idx, axis=0,
@@ -235,8 +208,4 @@ def warp_points(points: jnp.ndarray, tables: WarpTables,
                                        (points.shape[0], k, 3)),
                       n)                                  # [P, K, 3]
     y = jnp.sum(w[..., None] * yk, axis=1)
-    # smooth bounded squash into the hash domain (-2, 2): near-identity
-    # for |y| < 1, monotone on the tail — unlike a hard clip it never
-    # collapses distinct far content to one boundary point and never
-    # zeroes the pose-gradient path (round-5 recalibration)
-    return 2.0 * jnp.tanh(0.5 * y)
+    return jnp.clip(y, -1.999, 1.999)
