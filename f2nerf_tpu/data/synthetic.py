@@ -755,3 +755,156 @@ def make_textured_dataset(n_images: int = 32, h: int = 128, w: int = 128,
         dist_params=np.zeros((n_images, 4), dtype=np.float32),
         bounds=_depth_bounds(depths),
         images=np.stack(images), center=center, radius=radius)
+
+
+# ---------------------------------------------------------------------------
+# Inward-facing 360-degree object capture (round-5: the ngp_fox-shaped
+# proxy VERDICT r4 "missing #1" names — BASELINE configs[0] is an
+# inward object capture; reference data contract src/dataset.cpp:40-104)
+# ---------------------------------------------------------------------------
+
+
+def _render_objcap(pose: np.ndarray, intrinsic: np.ndarray, h: int,
+                   w: int, return_depth: bool = False):
+    """Analytic render of a compound object (box body + sphere head +
+    ears + tail) on a small ground disk under a noise sky — a fox-shaped
+    stand-in for the inward 360-degree captures the reference targets
+    (ngp_fox, BASELINE configs[0]). Every surface carries aperiodic
+    value-noise texture (no period ambiguity, same rationale as
+    :func:`_render_textured`); the object self-occludes across views,
+    which is the capture regime's distinctive stress."""
+    o, d = _camera_rays(pose, intrinsic, h, w)
+    light = np.array([0.45, 0.8, 0.35])
+    light /= np.linalg.norm(light)
+
+    t_best = np.full((h, w), np.inf)
+
+    # sky dome (radius 6): aperiodic noise + vertical ramp
+    b0 = np.sum(d * o, axis=-1)
+    c0 = np.sum(o * o) - 6.0 ** 2
+    tsky = -b0 + np.sqrt(np.maximum(b0 * b0 - c0, 0))
+    psky = o + d * tsky[..., None]
+    su = (psky[..., 0] / 12.0) + 0.5
+    sv = (psky[..., 2] / 12.0) + 0.5
+    nz = _value_noise(su, sv, 0)
+    sky = 0.55 + 0.2 * (nz - 0.5) + 0.12 * np.clip(psky[..., 1] / 6.0,
+                                                   -1, 1)
+    color = np.stack([sky * 0.92, sky * 0.96, np.minimum(sky * 1.06, 1.0)],
+                     axis=-1).astype(np.float32)
+    color = np.clip(color, 0.0, 1.0)
+
+    # ground disk y = -0.45, radius 1.4: noise + radial ramp
+    denom = d[..., 1]
+    tp = np.where(np.abs(denom) > 1e-6, (-0.45 - o[1]) / denom, np.inf)
+    px = o[0] + d[..., 0] * tp
+    pz = o[2] + d[..., 2] * tp
+    rad = np.sqrt(px * px + pz * pz)
+    hitp = (tp > 0) & (tp < t_best) & (rad < 1.4)
+    gu = np.clip(px / 2.8 + 0.5, 0.0, 1.0)
+    gv = np.clip(pz / 2.8 + 0.5, 0.0, 1.0)
+    n1 = _value_noise(gu, gv, 1)
+    pcol = np.stack([0.30 + 0.40 * n1 + 0.10 * gu,
+                     0.28 + 0.35 * (1 - n1) + 0.10 * gv,
+                     0.22 + 0.30 * n1], axis=-1)
+    pcol = np.clip(pcol, 0.0, 1.0).astype(np.float32)
+    t_best = np.where(hitp, tp, t_best)
+    color = np.where(hitp[..., None], pcol, color)
+
+    # body box [-0.35,-0.45,-0.22]..[0.35,0.05,0.22]: noise texture
+    lo = np.array([-0.35, -0.45, -0.22])
+    hi = np.array([0.35, 0.05, 0.22])
+    safe_d = np.where(np.abs(d) > 1e-9, d, 1e-9)
+    t0 = (lo - o) / safe_d
+    t1 = (hi - o) / safe_d
+    tmin = np.max(np.minimum(t0, t1), axis=-1)
+    tmax = np.min(np.maximum(t0, t1), axis=-1)
+    hitb = (tmax > tmin) & (tmin > 0) & (tmin < t_best)
+    pb = o + d * tmin[..., None]
+    ctr = (lo + hi) / 2
+    rel = (pb - ctr) / ((hi - lo) / 2)
+    axis = np.argmax(np.abs(rel), axis=-1)
+    nb = np.eye(3)[axis] * np.sign(
+        np.take_along_axis(rel, axis[..., None], axis=-1))
+    shade_b = 0.35 + 0.65 * np.clip(nb @ light, 0, 1)
+    bu = np.clip((pb[..., 0] - lo[0]) / (hi[0] - lo[0]), 0, 1)
+    bv = np.clip((pb[..., 2] - lo[2]) / (hi[2] - lo[2]), 0, 1)
+    bn = _value_noise(bu, bv, 2)
+    bcol = np.stack([0.60 + 0.30 * bn, 0.32 + 0.25 * bu,
+                     0.12 + 0.18 * (1 - bn)], axis=-1) \
+        * shade_b[..., None]
+    t_best = np.where(hitb, tmin, t_best)
+    color = np.where(hitb[..., None],
+                     np.clip(bcol, 0, 1).astype(np.float32), color)
+
+    # head + ears + tail: noise-marbled shaded spheres
+    spheres = (
+        (np.array([0.46, 0.24, 0.0]), 0.26, 3, (0.65, 0.33, 0.14)),
+        (np.array([0.54, 0.52, 0.13]), 0.09, 1, (0.55, 0.28, 0.12)),
+        (np.array([0.54, 0.52, -0.13]), 0.09, 1, (0.55, 0.28, 0.12)),
+        (np.array([-0.52, -0.12, 0.0]), 0.17, 2, (0.78, 0.62, 0.45)),
+    )
+    for sc, sr, gid, base in spheres:
+        oc = o - sc
+        b = np.sum(d * oc, axis=-1)
+        c = np.sum(oc * oc) - sr * sr
+        disc = b * b - c
+        ts = -b - np.sqrt(np.maximum(disc, 0))
+        hits = (disc > 0) & (ts > 0) & (ts < t_best)
+        n = (o + d * ts[..., None] - sc) / sr
+        shade = 0.35 + 0.65 * np.clip(n @ light, 0, 1)
+        mu = np.clip(np.arctan2(n[..., 2], n[..., 0]) / (2 * np.pi)
+                     + 0.5, 0, 1)
+        mv = np.clip(n[..., 1] * 0.5 + 0.5, 0, 1)
+        marble = _value_noise(mu, mv, gid)
+        scol = np.stack([base[0] + 0.25 * marble,
+                         base[1] + 0.20 * (1 - marble),
+                         base[2] + 0.15 * marble], axis=-1) \
+            * shade[..., None]
+        scol = np.clip(scol, 0, 1).astype(np.float32)
+        t_best = np.where(hits, ts, t_best)
+        color = np.where(hits[..., None], scol, color)
+
+    if return_depth:
+        return color, np.where(np.isfinite(t_best), t_best, tsky)
+    return color
+
+
+def make_objcap_dataset(n_images: int = 48, h: int = 128, w: int = 128,
+                        cam_radius: float = 1.9,
+                        seed: int = 0) -> Dataset:
+    """Inward-facing 360-degree object capture: cameras on a golden-
+    angle spiral over a spherical cap (full azimuth, elevations
+    ~12-58 degrees), all aimed at the object — the ngp_fox-style
+    capture shape (BASELINE configs[0]; the last unbuilt proxy from
+    VERDICT r4 "missing #1"). Depth-percentile bounds are written the
+    same way colmap2poses does, so auto-near lands at the closest
+    object/ground content."""
+    rng = np.random.default_rng(seed)
+    focal = 1.1 * w
+    intrinsic = np.array([[focal, 0, w / 2.0],
+                          [0, focal, h / 2.0],
+                          [0, 0, 1.0]], dtype=np.float32)
+    golden = np.pi * (3.0 - np.sqrt(5.0))
+    target = np.array([0.0, -0.05, 0.0])
+    poses, images, depths = [], [], []
+    for k in range(n_images):
+        az = golden * k
+        elev = np.deg2rad(12.0 + 46.0 * ((k + 0.5) / n_images)) \
+            + rng.normal(0, 0.01)
+        pos = cam_radius * np.array([
+            np.cos(az) * np.cos(elev), np.sin(elev),
+            np.sin(az) * np.cos(elev)]) + rng.normal(0, 0.01, 3)
+        pose = look_at_pose(pos, target)
+        poses.append(pose)
+        img, dep = _render_objcap(pose, intrinsic, h, w,
+                                  return_depth=True)
+        images.append(img)
+        depths.append(dep)
+    poses = np.stack(poses).astype(np.float32)
+    from f2nerf_tpu.core.cameras import normalize_poses
+    poses, center, radius = normalize_poses(poses)
+    return Dataset(
+        poses=poses, intrinsics=np.stack([intrinsic] * n_images),
+        dist_params=np.zeros((n_images, 4), dtype=np.float32),
+        bounds=_depth_bounds(depths),
+        images=np.stack(images), center=center, radius=radius)

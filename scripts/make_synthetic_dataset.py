@@ -23,7 +23,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir", type=pathlib.Path)
-    ap.add_argument("--scene", choices=("checker", "sphere", "corridor", "textured", "longtraj"),
+    ap.add_argument("--scene", choices=("checker", "sphere", "corridor", "textured", "longtraj", "objcap"),
                     default="checker")
     ap.add_argument("--n_images", type=int, default=18)
     ap.add_argument("--hw", type=int, default=400)
@@ -35,6 +35,7 @@ def main() -> int:
     from f2nerf_tpu.data.synthetic import (make_checker_dataset,
                                            make_corridor_dataset,
                                            make_longtraj_dataset,
+                                           make_objcap_dataset,
                                            make_sphere_dataset,
                                            make_textured_dataset)
 
@@ -42,7 +43,8 @@ def main() -> int:
             "sphere": make_sphere_dataset,
             "corridor": make_corridor_dataset,
             "textured": make_textured_dataset,
-            "longtraj": make_longtraj_dataset}[args.scene]
+            "longtraj": make_longtraj_dataset,
+            "objcap": make_objcap_dataset}[args.scene]
     ds = make(n_images=args.n_images, h=args.hw, w=args.hw)
 
     if args.holdout > 0:

@@ -44,7 +44,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("result_dir", type=pathlib.Path)
     ap.add_argument("--scene", choices=("checker", "sphere", "corridor",
-                                        "textured", "longtraj"),
+                                        "textured", "longtraj", "objcap"),
                     default="checker")
     ap.add_argument("--n_images", type=int, default=16)
     ap.add_argument("--hw", type=int, default=128)
@@ -140,6 +140,7 @@ def main() -> int:
     from f2nerf_tpu.data.synthetic import (make_checker_dataset,
                                            make_corridor_dataset,
                                            make_longtraj_dataset,
+                                           make_objcap_dataset,
                                            make_sphere_dataset,
                                            make_textured_dataset)
     from f2nerf_tpu.models import renderer
@@ -150,7 +151,8 @@ def main() -> int:
             "sphere": make_sphere_dataset,
             "corridor": make_corridor_dataset,
             "textured": make_textured_dataset,
-            "longtraj": make_longtraj_dataset}[args.scene]
+            "longtraj": make_longtraj_dataset,
+            "objcap": make_objcap_dataset}[args.scene]
     ds = make(n_images=args.n_images, h=args.hw, w=args.hw)
     held, train_ds = [], ds
     if args.holdout > 0:

@@ -139,3 +139,48 @@ def test_longtraj_dataset():
     # determinism
     ds2 = make_longtraj_dataset(n_images=8, h=32, w=32, length=40.0)
     np.testing.assert_array_equal(ds.images, ds2.images)
+
+
+def test_objcap_dataset():
+    """Inward 360-degree object capture (the ngp_fox-shaped proxy,
+    BASELINE configs[0]): cameras must cover the full azimuth range at
+    multiple elevations, all pointing inward at the object, with traced
+    depth bounds that start at real object/ground content."""
+    from f2nerf_tpu.data.synthetic import make_objcap_dataset
+    ds = make_objcap_dataset(n_images=12, h=32, w=32)
+    assert ds.images.shape == (12, 32, 32, 3)
+    assert 0.0 <= ds.images.min() and ds.images.max() <= 1.0
+    assert all(im.std() > 0.05 for im in ds.images)
+    pos = ds.poses[:, :, 3]
+    # full-azimuth coverage: camera bearings land in all four quadrants
+    az = np.arctan2(pos[:, 2], pos[:, 0])
+    quads = set(((az + np.pi) // (np.pi / 2)).astype(int).tolist())
+    assert len(quads) >= 4
+    # multi-elevation: vertical positions span a real range
+    assert pos[:, 1].max() - pos[:, 1].min() > 0.3
+    # inward-facing: all view axes (-z, OpenGL) converge on a common
+    # point — solve the least-squares ray intersection and check every
+    # ray passes within 0.1 normalized units of it
+    fwd = -ds.poses[:, :, 2]
+    eye = np.eye(3)
+    A = np.zeros((3, 3))
+    b = np.zeros(3)
+    for p, f in zip(pos, fwd):
+        m = eye - np.outer(f, f)
+        A += m
+        b += m @ p
+    target = np.linalg.solve(A, b)
+    rel = target - pos
+    dist = np.linalg.norm(rel - np.sum(rel * fwd, -1, keepdims=True)
+                          * fwd, axis=-1)
+    assert np.all(dist < 0.1)
+    # and the convergence point is in FRONT of every camera
+    assert np.all(np.sum(rel * fwd, -1) > 0.5)
+    # traced near bound sits at real content: closer than the camera
+    # radius, farther than a third of it
+    assert np.all(ds.bounds[:, 0] > 0.2)
+    assert np.all(ds.bounds[:, 0] < 2.5)
+    assert np.all(ds.bounds[:, 1] > ds.bounds[:, 0])
+    # determinism
+    ds2 = make_objcap_dataset(n_images=12, h=32, w=32)
+    np.testing.assert_array_equal(ds.images, ds2.images)
