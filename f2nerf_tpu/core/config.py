@@ -120,6 +120,16 @@ class ModelConfig:
     # young field pays pass 1 for nothing (162 vs 114). Enable for
     # scenes with tight depth ranges / fast-terminating rays.
     dense_two_pass: bool = False
+    # Run-dedup over the two-pass COMPACTED survivor stream (round-5
+    # dense follow-through): the compact branch keeps ray-major order,
+    # so coarse levels still see long page runs. Certified budgets do
+    # not survive compaction (prefix lengths have no lower bound), so
+    # this path replaces them with a RUNTIME admissibility check — the
+    # actual per-pseudo-row run counts are compared against heuristic
+    # budgets and the encode falls back to the exact flat path inside
+    # lax.cond whenever any level would overflow (hash_field
+    # .query_compacted). Exact either way.
+    dense_two_pass_dedup: bool = False
     occ_grid_res: int = 128
     occ_segments: int = 128
     # keep=8 with occ_trans_eps eligibility beats keep=16 without it on

@@ -131,6 +131,91 @@ def ray_budgets(cfg: ModelConfig) -> tuple[int, ...] | None:
     return budgets if any(budgets) else None
 
 
+@functools.lru_cache(maxsize=32)
+def compacted_budgets(cfg: ModelConfig, s2: int) -> tuple[int, ...] | None:
+    """Heuristic per-level run budgets for PSEUDO-rows of ``s2``
+    consecutive samples of the two-pass compacted survivor stream.
+
+    Unlike :func:`ray_budgets` these are NOT certified: a pseudo-row
+    spans several real-ray survivor prefixes (mean prefix ~S/4 on a
+    trained field, BENCH_NOTES r3), each contributing its own run
+    structure plus one boundary jump, and prefix lengths have no lower
+    bound — so the caller (query_compacted) must runtime-check actual
+    run counts and fall back to the flat encode on overflow. The
+    heuristic doubles the certified per-real-ray budget (a pseudo-row
+    of s2 = S samples covers ~4 quarter-length prefixes, i.e. about
+    one march worth of path, plus boundary jumps and slack).
+    """
+    base = ray_budgets(cfg)
+    if base is None or cfg.sampler_mode != "dense":
+        return None
+    out = []
+    for b in base:
+        if not b:
+            out.append(0)
+            continue
+        b2 = ((2 * b + 16 + 7) // 8) * 8
+        out.append(b2 if b2 <= cfg.dedup_max_frac * s2 else 0)
+    return tuple(out) if any(out) else None
+
+
+def query_compacted(params: Params, consts: Params, points: jnp.ndarray,
+                    cfg: ModelConfig, point_grads: bool = True,
+                    level_weights=None) -> jnp.ndarray:
+    """Flat [N, 3] query for the two-pass compacted survivor stream,
+    with runtime-checked run dedup (VERDICT r4 #5).
+
+    The compact branch preserves ray-major order (renderer.py
+    _render_two_pass), so consecutive samples still visit coarse-level
+    pages in runs. N is reshaped into pseudo-rows of ``s2 = S`` samples
+    and the per-level run counts are measured; if every deduped level
+    fits its heuristic budget (the common case on a trained field), the
+    run-dedup encode runs — bitwise identical to the flat encode since
+    no run id ever clamps — otherwise lax.cond selects the flat encode.
+    Falls back statically when dedup cannot apply (warp, xor, disabled,
+    N not divisible by s2).
+    """
+    n = points.shape[0]
+    s2 = cfg.n_samples
+    budgets = compacted_budgets(cfg, s2)
+    static_fallback = (budgets is None or n % s2 != 0 or n < s2
+                       or cfg.warp_mode == "perspective"
+                       or cfg.hash_mode != "paged"
+                       or not cfg.encode_dedup)
+    if static_fallback:
+        return query(params, consts, points, cfg,
+                     point_grads=point_grads,
+                     level_weights=level_weights)
+    x = contract(points, cfg.contraction_radius)
+    meta = paged_meta(cfg)
+    page_idx, _, _ = hash_paged._page_indices_lm(x, meta)  # [L, N]
+    r2 = n // s2
+    ok = jnp.asarray(True)
+    for lvl, b in enumerate(budgets):
+        if not b:
+            continue
+        pl = page_idx[lvl].reshape(r2, s2)
+        runs = 1 + jnp.sum((pl[:, 1:] != pl[:, :-1]).astype(jnp.int32),
+                           axis=1)
+        ok = ok & (jnp.max(runs) <= b)
+    compute_dtype = jnp.bfloat16 if cfg.bf16_features else jnp.float32
+
+    def dedup_branch(xb):
+        return hash_paged.paged_encode_rays(
+            xb.reshape(r2, s2, 3), params["feat_pool"], meta, budgets,
+            compute_dtype=compute_dtype, chunk=cfg.encode_chunk,
+            point_grads=point_grads).reshape(n, -1)
+
+    def flat_branch(xb):
+        return hash_paged.paged_encode(
+            xb, params["feat_pool"], meta, compute_dtype=compute_dtype,
+            chunk=cfg.encode_chunk, point_grads=point_grads)
+
+    feat = jax.lax.cond(ok, dedup_branch, flat_branch, x)
+    feat = _apply_level_weights(feat, level_weights, cfg)
+    return feat @ params["mlp"]["w"] + params["mlp"]["b"]
+
+
 def _apply_level_weights(feat: jnp.ndarray, level_weights,
                          cfg: ModelConfig) -> jnp.ndarray:
     """Scale each hash level's channel block ([..., L*C] level-major)

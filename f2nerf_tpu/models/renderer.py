@@ -243,10 +243,22 @@ def _render_two_pass(params, consts, smp, emb_idx, bg_color, cfg, train,
             pts = flat_pts[idx]
             t = flat_t[idx]
             dt = jnp.where(valid, flat_dt[idx], 0.0)
-            feat = hash_field.query(params["field"], consts["field"],
-                                    pts, cfg, encode_fn=encode_fn,
-                                    point_grads=point_grads,
-                                    level_weights=level_weights)
+            if cfg.dense_two_pass_dedup and encode_fn is None:
+                # run-dedup over the survivor stream: ray-major order
+                # is preserved by the stable partition above, so coarse
+                # levels still see page runs; budgets are runtime-
+                # checked with an exact flat fallback (hash_field
+                # .query_compacted, VERDICT r4 #5)
+                feat = hash_field.query_compacted(
+                    params["field"], consts["field"], pts, cfg,
+                    point_grads=point_grads,
+                    level_weights=level_weights)
+            else:
+                feat = hash_field.query(params["field"],
+                                        consts["field"], pts, cfg,
+                                        encode_fn=encode_fn,
+                                        point_grads=point_grads,
+                                        level_weights=level_weights)
             sigma = density_activation(feat[..., 0], cfg.density_shift)
             shading_feat = jnp.concatenate(
                 [jnp.ones_like(feat[..., :1]), feat[..., 1:]], axis=-1)

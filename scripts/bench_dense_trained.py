@@ -95,14 +95,48 @@ def main() -> int:
           f"{np.percentile(k, 50):.0f} p90 {np.percentile(k, 90):.0f} "
           f"max {k.max()} of S={cfg.model.n_samples}")
 
+    # pseudo-row run statistics for the survivor-stream dedup
+    # (hash_field.query_compacted): do the measured max run counts on
+    # this trained field fit the heuristic budgets?
+    from f2nerf_tpu.models.hash_field import (compacted_budgets,
+                                              paged_meta)
+    from f2nerf_tpu.ops import hash_paged as hp
+    mask = trans > cfg.model.trans_eps
+    n_surv = int(np.asarray(jnp.sum(mask)))
+    flat_mask = np.asarray(mask).ravel()
+    order = np.concatenate([np.nonzero(flat_mask)[0],
+                            np.nonzero(~flat_mask)[0]])
+    s2 = cfg.model.n_samples
+    b2 = compacted_budgets(cfg.model, s2)
+    if b2 is not None:
+        # quarter bucket — the bucket the ~25% survivor regime selects
+        for nb in (smp.pts.shape[0] * s2 // 4,):
+            idx = order[:nb - nb % s2]
+            pts_c = np.asarray(smp.pts.reshape(-1, 3))[idx]
+            from f2nerf_tpu.ops.contraction import contract
+            xc = contract(jnp.asarray(pts_c), cfg.model.contraction_radius)
+            page_idx, _, _ = hp._page_indices_lm(xc, paged_meta(cfg.model))
+            page_idx = np.asarray(page_idx)
+            r2 = idx.size // s2
+            print(f"survivors {n_surv}/{flat_mask.size} "
+                  f"({100*n_surv/flat_mask.size:.0f}%); pseudo-row "
+                  f"(s2={s2}) max runs vs budget per level:")
+            for lvl, b in enumerate(b2):
+                pl = page_idx[lvl].reshape(r2, s2)
+                runs = 1 + (pl[:, 1:] != pl[:, :-1]).sum(1)
+                print(f"  L{lvl}: max {runs.max()} p90 "
+                      f"{int(np.percentile(runs, 90))} budget {b}"
+                      f"{' FAIL' if b and runs.max() > b else ''}")
+
     n_im = n_images
     poses = jnp.asarray(ds.poses)[:n_im]
     intr_b = jnp.asarray(ds.intrinsics)[:n_im]
 
-    for tp in (True, False):
+    for tp, dd in ((True, True), (True, False), (False, False)):
         cfg_v = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
-                                           dense_two_pass=tp))
+                                           dense_two_pass=tp,
+                                           dense_two_pass_dedup=dd))
         step_fn = jax.jit(make_train_step(cfg_v, optimizer))
         cam = rng.integers(0, n_im, rays).astype(np.int32)
         ij = np.stack([rng.integers(0, h, rays),
@@ -121,7 +155,7 @@ def main() -> int:
                                     cam, ij, gt)
         _ = float(m.loss)
         dt_ms = (time.perf_counter() - t0) / iters * 1e3
-        print(f"two_pass={tp}: {dt_ms:7.2f} ms/step "
+        print(f"two_pass={tp} surv_dedup={dd}: {dt_ms:7.2f} ms/step "
               f"({rays / dt_ms * 1e3:7.0f} rays/s)")
     return 0
 

@@ -454,3 +454,91 @@ def test_compute_runs_binary_search_equivalence():
             for bb in np.unique(rid[ray]):
                 first = int(np.argmax(rid[ray] == bb))
                 assert rp[ray, bb] == pages[ray, first], (ray, bb)
+
+
+class TestQueryCompacted:
+    """Survivor-stream dedup (hash_field.query_compacted): runtime-
+    checked run budgets over pseudo-rows of the compacted two-pass
+    stream, exact flat fallback on overflow — results must equal the
+    plain flat query either way (VERDICT r4 #5)."""
+
+    def _cfg(self):
+        from f2nerf_tpu.core.config import ModelConfig
+        return ModelConfig(n_levels=4, n_channels=2, log2_table_size=10,
+                           n_samples=256, sample_l=1.0 / 64.0,
+                           bf16_features=False, sampler_mode="dense",
+                           encode_chunk=65536)
+
+    def test_budgets_exist_at_dense_shape(self):
+        from f2nerf_tpu.models.hash_field import compacted_budgets
+        cfg = self._cfg()
+        b = compacted_budgets(cfg, cfg.n_samples)
+        assert b is not None and any(b)
+
+    def test_coherent_stream_matches_flat_query(self):
+        """Ray-coherent stream (what the compact branch produces): the
+        runtime check passes, the dedup branch runs, results and
+        gradients equal the flat query."""
+        import dataclasses
+
+        from f2nerf_tpu.models import hash_field, renderer, sampler
+        from f2nerf_tpu.ops.contraction import contract
+
+        cfg = self._cfg()
+        rng = np.random.default_rng(5)
+        params, consts = renderer.init(jax.random.key(1), cfg, 2)
+        o = jnp.asarray(rng.standard_normal((4, 3)) * 0.2, jnp.float32)
+        d = rng.standard_normal((4, 3))
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.float32)
+        smp = sampler.sample_rays(o, d, cfg, jax.random.key(2))
+        pts = smp.pts.reshape(-1, 3)                 # ray-major stream
+
+        # the runtime admissibility check must PASS here (otherwise
+        # this test only exercises the fallback): recompute it exactly
+        budgets = hash_field.compacted_budgets(cfg, cfg.n_samples)
+        x = contract(pts, cfg.contraction_radius)
+        page_idx, _, _ = hp._page_indices_lm(x, hash_field.paged_meta(cfg))
+        r2 = pts.shape[0] // cfg.n_samples
+        for lvl, b in enumerate(budgets):
+            if not b:
+                continue
+            pl = np.asarray(page_idx[lvl]).reshape(r2, cfg.n_samples)
+            runs = 1 + (pl[:, 1:] != pl[:, :-1]).sum(1)
+            assert runs.max() <= b, f"level {lvl} check must pass"
+
+        def f_comp(p):
+            return hash_field.query_compacted(p, consts["field"], pts,
+                                              cfg)
+
+        def f_flat(p):
+            return hash_field.query(p, consts["field"], pts, cfg)
+
+        fc = jax.jit(f_comp)(params["field"])
+        ff = jax.jit(f_flat)(params["field"])
+        np.testing.assert_allclose(fc, ff, rtol=1e-6, atol=1e-7)
+
+        gc = jax.jit(jax.grad(lambda p: jnp.sum(jnp.sin(f_comp(p)))))(
+            params["field"])
+        gf = jax.jit(jax.grad(lambda p: jnp.sum(jnp.sin(f_flat(p)))))(
+            params["field"])
+        for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(gf)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    def test_scrambled_stream_falls_back_exactly(self):
+        """Adversarial stream (random point order): run counts explode,
+        the runtime check fails, and the flat fallback keeps results
+        exact — the overflow never silently clamps."""
+        from f2nerf_tpu.models import hash_field, renderer
+
+        cfg = self._cfg()
+        rng = np.random.default_rng(7)
+        params, consts = renderer.init(jax.random.key(1), cfg, 2)
+        pts = jnp.asarray(rng.standard_normal((2 * cfg.n_samples, 3)),
+                          jnp.float32)
+
+        fc = jax.jit(lambda p: hash_field.query_compacted(
+            p, consts["field"], pts, cfg))(params["field"])
+        ff = jax.jit(lambda p: hash_field.query(
+            p, consts["field"], pts, cfg))(params["field"])
+        np.testing.assert_allclose(fc, ff, rtol=1e-6, atol=1e-7)

@@ -190,7 +190,7 @@ class TestDenseTwoPass:
     stop, static-shape rebuild) must reproduce the masked single pass
     exactly — outputs and gradients — in every bucket branch."""
 
-    def _compare(self, cfg_model, rng):
+    def _compare(self, cfg_model, rng, surv_dedup=False):
         import dataclasses
 
         import jax
@@ -198,7 +198,8 @@ class TestDenseTwoPass:
 
         from f2nerf_tpu.models import renderer
 
-        cfg_tp = dataclasses.replace(cfg_model, dense_two_pass=True)
+        cfg_tp = dataclasses.replace(cfg_model, dense_two_pass=True,
+                                     dense_two_pass_dedup=surv_dedup)
         cfg_sp = dataclasses.replace(cfg_model, dense_two_pass=False)
         params, consts = renderer.init(jax.random.key(0), cfg_model, 4)
         o = jnp.asarray(rng.standard_normal((8, 3)) * 0.2, jnp.float32)
@@ -261,3 +262,19 @@ class TestDenseTwoPass:
         res = self._compare(cfg, rng)
         m = np.asarray(res.mask)
         assert m.sum() < m.size  # the early-stop actually cut samples
+
+    def test_prefix_bucket_survivor_dedup(self, tiny_cfg, rng):
+        """Survivor-stream run dedup in the compact branch
+        (dense_two_pass_dedup, VERDICT r4 #5): needs a dense-point-like
+        sample count for budgets to exist; must stay exact vs the
+        masked single pass."""
+        import dataclasses
+
+        from f2nerf_tpu.models.hash_field import compacted_budgets
+        cfg = dataclasses.replace(tiny_cfg.model, n_samples=256,
+                                  sample_l=1.0 / 64.0,
+                                  density_shift=-2.0)
+        assert compacted_budgets(cfg, cfg.n_samples) is not None
+        res = self._compare(cfg, rng, surv_dedup=True)
+        m = np.asarray(res.mask)
+        assert m.sum() < m.size
