@@ -21,9 +21,13 @@ import numpy as np
 
 
 def main() -> int:
+    # args: [run_dir] [arm] [rays]; arm in {all, stats, surv, tp, off}
+    # — one arm per invocation keeps each TPU window to a single big
+    # compile (the three train-step variants are distinct XLA programs)
     run_dir = pathlib.Path(sys.argv[1] if len(sys.argv) > 1
                            else "_runs/r2_dense20k")
-    rays = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    arm = sys.argv[2] if len(sys.argv) > 2 else "all"
+    rays = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     iters = 20
 
     from f2nerf_tpu.core.config import Config
@@ -108,7 +112,7 @@ def main() -> int:
                             np.nonzero(~flat_mask)[0]])
     s2 = cfg.model.n_samples
     b2 = compacted_budgets(cfg.model, s2)
-    if b2 is not None:
+    if b2 is not None and arm in ("all", "stats", "surv"):
         # quarter bucket — the bucket the ~25% survivor regime selects
         for nb in (smp.pts.shape[0] * s2 // 4,):
             idx = order[:nb - nb % s2]
@@ -132,7 +136,10 @@ def main() -> int:
     poses = jnp.asarray(ds.poses)[:n_im]
     intr_b = jnp.asarray(ds.intrinsics)[:n_im]
 
-    for tp, dd in ((True, True), (True, False), (False, False)):
+    arms = {"surv": ((True, True),), "tp": ((True, False),),
+            "off": ((False, False),), "stats": (),
+            "all": ((True, True), (True, False), (False, False))}[arm]
+    for tp, dd in arms:
         cfg_v = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            dense_two_pass=tp,
