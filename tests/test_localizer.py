@@ -230,7 +230,13 @@ class TestStagedLocalize:
     shrinking-rounds particle search + safeguarded auto-lr
     differential."""
 
+    @pytest.mark.slow
     def test_staged_recovers(self, trained):
+        # ~77 s on the 2-core host (the `trained` fixture + 2 search
+        # rounds + differential refinement compile) — by far the
+        # heaviest fast test in the round-5 durations profile; the
+        # staged product path keeps fast coverage via
+        # test_serve.py::test_localize_staged_mode
         core, ds = trained
         core._rng = np.random.default_rng(5)
         true_pose = ds.poses[3]
