@@ -28,6 +28,13 @@ def main() -> int:
                            else "_runs/r2_dense20k")
     arm = sys.argv[2] if len(sys.argv) > 2 else "all"
     rays = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    # optional trans_eps override: probes the LATE-training survivor
+    # regime on an early checkpoint (survivor fraction is set by how
+    # far transmittance has collapsed; a 3k field keeps ~60% survivors
+    # at the shipped 1e-4 while the r3 20k field measured ~25% — the
+    # two-pass bucket choice, and therefore its timing, depends only
+    # on that fraction)
+    trans_eps = float(sys.argv[4]) if len(sys.argv) > 4 else None
     iters = 20
 
     from f2nerf_tpu.core.config import Config
@@ -42,6 +49,11 @@ def main() -> int:
         cfg, train=dataclasses.replace(cfg.train,
                                        pts_batch_size=rays * 512))
     assert cfg.model.sampler_mode == "dense", "need a dense run"
+    if trans_eps is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           trans_eps=trans_eps))
+        print(f"trans_eps override: {trans_eps}")
 
     # dataset geometry: quality_run scenes are synthetic; rebuild the
     # same scene from the run's inference params (n_images/h/w only
