@@ -113,12 +113,16 @@ class ModelConfig:
     # RS/2, RS} (lax.switch; all branches compile once). Outputs and
     # gradients equal the masked single pass (equivalence-tested).
     # Default OFF after on-TPU measurement (BENCH_NOTES r3 "Dense
-    # two-pass"): it pays only when survivors < ~20-25% of R*S — the
-    # break-even where pass 2's savings beat pass 1's extra no-grad
-    # forward plus the sort/gather/scatter overheads. The trained
-    # checker field sits at ~26% survivors (159 vs 113 ms/step), and a
-    # young field pays pass 1 for nothing (162 vs 114). Enable for
-    # scenes with tight depth ranges / fast-terminating rays.
+    # two-pass", r5 "survivor-regime study"): it pays only when
+    # survivors < ~20-25% of R*S — the break-even where pass 2's
+    # savings beat pass 1's extra no-grad forward plus the
+    # gather/scatter overheads. A young field pays pass 1 for nothing
+    # (149 vs 112 ms/step at 61% survivors, r5), while at the
+    # late-training regime (18% survivors) the round-5 machinery
+    # (cumsum+scatter partition, flat pass-1 encode, survivor-stream
+    # dedup below) measures 94.9 vs 112.2 ms — enable both flags for
+    # long dense runs / scenes with fast-terminating rays, where the
+    # few-k-step warmup penalty amortizes (~-8% wall on a 20k run).
     dense_two_pass: bool = False
     # Run-dedup over the two-pass COMPACTED survivor stream (round-5
     # dense follow-through): the compact branch keeps ray-major order,
