@@ -49,6 +49,7 @@ def main() -> int:
     from f2nerf_tpu.data.synthetic import (make_checker_dataset,
                                            make_corridor_dataset,
                                            make_longtraj_dataset,
+                                           make_objcap_dataset,
                                            make_sphere_dataset,
                                            make_textured_dataset)
     from f2nerf_tpu.localize.localizer import (Localizer, LocalizerParam,
@@ -60,7 +61,8 @@ def main() -> int:
     make = {"checker": make_checker_dataset, "sphere": make_sphere_dataset,
             "corridor": make_corridor_dataset,
             "textured": make_textured_dataset,
-            "longtraj": make_longtraj_dataset}[args.scene]
+            "longtraj": make_longtraj_dataset,
+            "objcap": make_objcap_dataset}[args.scene]
     ds = make(n_images=args.n_images, h=args.hw, w=args.hw)
     held = list(range(0, ds.n_images, args.holdout_every))
     keep = [i for i in range(ds.n_images) if i not in held]
